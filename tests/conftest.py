@@ -1,0 +1,21 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh: the TPU-native answer to "test
+multi-chip behavior without a pod" is XLA's host-platform device-count
+override, which gives real (if slow) executions of the same sharded
+programs that run on ICI-connected chips.
+"""
+
+import os
+
+# Must be set before jax initializes its backends.
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(16807)
