@@ -8,9 +8,13 @@ programs that run on ICI-connected chips.
 
 import os
 
-# Must be set before jax initializes its backends.
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax initializes its backends.  Force CPU even when the
+# session environment points at a TPU: tests must be hermetic and exercise
+# the 8-device mesh.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

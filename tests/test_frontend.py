@@ -1,0 +1,272 @@
+"""Front-end tests.
+
+Mirror the reference test semantics (test/test_feat.py, test/test_ppg.py):
+frame-count formula, MFCC dims, CMN sums to ~0, LDA shapes, sparse-matrix
+mass, PPG rows sum to 1 — plus importer round-trips and numpy/JAX MFCC
+agreement that the reference could not test (its torch side had no coverage).
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from fac_via_ppg_tpu.frontend import feat, kaldi_io, nnet3
+from fac_via_ppg_tpu.frontend.mfcc import (
+    FrameExtractionOptions,
+    MfccJax,
+    MfccOptions,
+    compute_mfcc,
+    num_frames,
+)
+
+REFERENCE_DATA = "/root/reference/data/feats"
+
+
+@pytest.fixture
+def wav16k(rng):
+    t = np.arange(32000) / 16000.0
+    x = 2000 * np.sin(2 * np.pi * 220 * t) + 300 * rng.randn(32000)
+    return x.astype(np.float64)
+
+
+def _opts(dither=0.0, **kw):
+    return MfccOptions(
+        frame_opts=FrameExtractionOptions(
+            snip_edges=False, allow_downsample=True, dither=dither, **kw
+        ),
+        use_energy=False,
+    )
+
+
+# ---------------------------------------------------------------- Kaldi I/O
+
+def test_read_reference_lda_matrix():
+    lda = kaldi_io.read_matrix(os.path.join(REFERENCE_DATA, "final.mat"))
+    assert lda.shape == (40, 91)  # 13 MFCC x 7 context frames
+    assert np.isfinite(lda).all()
+
+
+def test_read_reference_sparse_matrix():
+    sm = kaldi_io.read_sparse_matrix(os.path.join(REFERENCE_DATA, "reduce_dim.mat"))
+    assert sm.shape == (40, 5816)
+    # "This is a special matrix" (reference test_feat.py:87)
+    assert sm.sum() == 5816
+
+
+def test_matrix_roundtrip(rng, tmp_path):
+    m = rng.randn(17, 23).astype(np.float32)
+    path = str(tmp_path / "m.mat")
+    kaldi_io.write_matrix(path, m)
+    np.testing.assert_array_equal(kaldi_io.read_matrix(path), m)
+
+
+def test_sparse_roundtrip(rng, tmp_path):
+    s = (rng.rand(5, 30) > 0.8).astype(np.float32) * rng.rand(5, 30).astype(np.float32)
+    path = str(tmp_path / "s.mat")
+    kaldi_io.write_sparse_matrix(path, s)
+    np.testing.assert_array_equal(kaldi_io.read_sparse_matrix(path), s)
+
+
+# -------------------------------------------------------------------- MFCC
+
+def test_mfcc_dims_and_frame_count(wav16k):
+    feats = compute_mfcc(wav16k, 16000, _opts())
+    assert feats.shape[1] == 13  # default MFCC dims
+    # snip_edges=False frame count == round(samples / shift)
+    # (reference test_feat.py:61-64)
+    expected = int(round(len(wav16k) / (16000 * 10.0 / 1000)))
+    assert feats.shape[0] == expected
+
+
+def test_mfcc_frame_count_rounding():
+    opts = FrameExtractionOptions(snip_edges=False)
+    assert num_frames(16000, opts) == 100
+    assert num_frames(16079, opts) == 100
+    assert num_frames(16080, opts) == 101
+
+
+def test_mfcc_downsampling(wav16k):
+    # 32 kHz input downsampled to 16 kHz before analysis.
+    up = np.repeat(wav16k, 2)  # crude 2x upsample is fine as a test signal
+    feats = compute_mfcc(up, 32000, _opts())
+    expected = int(round(len(up) / (32000 * 10.0 / 1000)))
+    assert abs(feats.shape[0] - expected) <= 1
+    assert feats.shape[1] == 13
+
+
+def test_mfcc_rejects_wrong_rate_without_downsample(wav16k):
+    opts = MfccOptions(
+        frame_opts=FrameExtractionOptions(snip_edges=False, allow_downsample=False),
+        use_energy=False,
+    )
+    with pytest.raises(ValueError):
+        compute_mfcc(wav16k, 44100, opts)
+
+
+def test_mfcc_first_channel_only(wav16k):
+    stereo = np.stack([wav16k, np.zeros_like(wav16k)], axis=1)
+    a = compute_mfcc(stereo, 16000, _opts())
+    b = compute_mfcc(wav16k, 16000, _opts())
+    np.testing.assert_array_equal(a, b)
+
+
+def test_mfcc_jax_matches_numpy(wav16k):
+    import jax.numpy as jnp
+
+    opts = _opts()
+    ref = compute_mfcc(wav16k, 16000, opts)
+    jx = MfccJax(opts)
+    out = np.asarray(jx(jnp.asarray(wav16k, dtype=jnp.float32), len(wav16k)))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=2e-2)
+
+
+def test_mfcc_dither_reproducible(wav16k):
+    a = compute_mfcc(wav16k, 16000, _opts(dither=1.0), seed=7)
+    b = compute_mfcc(wav16k, 16000, _opts(dither=1.0), seed=7)
+    c = compute_mfcc(wav16k, 16000, _opts(dither=1.0), seed=8)
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 0
+
+
+# ------------------------------------------------------------ feat plumbing
+
+def test_cmn_sums_to_zero(wav16k):
+    feats = compute_mfcc(wav16k, 16000, _opts())
+    normed = feat.apply_cepstral_mean_norm(feats)
+    assert abs(normed.sum()) < 1e-2  # reference test_feat.py:72
+
+
+def test_splice_frames_shape_and_edges(rng):
+    x = rng.randn(10, 3).astype(np.float32)
+    sp = feat.splice_frames(x, 3, 3)
+    assert sp.shape == (10, 21)
+    # First frame's left context clamps to frame 0.
+    np.testing.assert_array_equal(sp[0, :3], x[0])
+    np.testing.assert_array_equal(sp[0, 9:12], x[0])
+    # Last frame's right context clamps to the last frame.
+    np.testing.assert_array_equal(sp[-1, -3:], x[-1])
+
+
+def test_lda_transform_shapes(wav16k):
+    lda = kaldi_io.read_matrix(os.path.join(REFERENCE_DATA, "final.mat"))
+    feats = compute_mfcc(wav16k, 16000, _opts())
+    spliced = feat.splice_frames(feats, 3, 3)
+    out = feat.apply_feat_transform(spliced, lda)
+    assert out.shape == (feats.shape[0], 40)  # reference test_feat.py:82-83
+
+
+def test_affine_transform_offset_column(rng):
+    x = rng.randn(5, 4).astype(np.float32)
+    linear = rng.randn(3, 4).astype(np.float32)
+    offset = rng.randn(3).astype(np.float32)
+    affine = np.concatenate([linear, offset[:, None]], axis=1)
+    out = feat.apply_feat_transform(x, affine)
+    np.testing.assert_allclose(out, x @ linear.T + offset, rtol=1e-5)
+
+
+def test_transform_bad_dims_raises(rng):
+    with pytest.raises(ValueError):
+        feat.apply_feat_transform(rng.randn(5, 4), rng.randn(3, 9))
+
+
+# -------------------------------------------------------------------- nnet3
+
+def test_nnet3_roundtrip_and_forward(tmp_path):
+    net = nnet3.make_random_tdnn(
+        input_dim=8, output_dim=20, hidden_dim=16, num_layers=2, seed=3
+    )
+    path = str(tmp_path / "net.txt")
+    nnet3.write_nnet3_text(net, path)
+    net2 = nnet3.load_nnet3(path)
+
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.random.RandomState(0).randn(12, 8), dtype=jnp.float32)
+    out1 = np.asarray(net.forward(x))
+    out2 = np.asarray(net2.forward(x))
+    assert out1.shape == (12, 20)
+    np.testing.assert_allclose(out1, out2, rtol=1e-5, atol=1e-6)
+    # Softmax output: rows sum to 1 (reference test_ppg.py:54).
+    np.testing.assert_allclose(out1.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_nnet3_context():
+    net = nnet3.make_random_tdnn(input_dim=8, output_dim=10, hidden_dim=8,
+                                 num_layers=2, seed=0)
+    # layers use +-1 then +-3 context
+    assert net.left_context() == 4
+    assert net.right_context() == 4
+
+
+def test_nnet3_offset_clamps_at_edges():
+    import jax.numpy as jnp
+
+    # Single affine on Offset(input, -1): row 0 must reuse row 0 (edge clamp,
+    # matching DecodableNnetSimple's input padding).
+    nodes = {
+        "input": nnet3.Node("input", "input", dim=2),
+        "aff": nnet3.Node(
+            "component", "aff", component="aff",
+            descriptor=nnet3.parse_descriptor("Offset(input, -1)"),
+        ),
+        "output": nnet3.Node(
+            "output", "output", descriptor=nnet3.parse_descriptor("aff")
+        ),
+    }
+    comps = {
+        "aff": nnet3.Component(
+            "NaturalGradientAffineComponent",
+            {"LinearParams": np.eye(2, dtype=np.float32),
+             "BiasParams": np.zeros(2, dtype=np.float32)},
+        )
+    }
+    net = nnet3.Nnet3(nodes, ["input", "aff", "output"], comps)
+    x = jnp.asarray(np.arange(6, dtype=np.float32).reshape(3, 2))
+    out = np.asarray(net.forward(x))
+    np.testing.assert_array_equal(out[0], x[0])
+    np.testing.assert_array_equal(out[1], x[0])
+    np.testing.assert_array_equal(out[2], x[1])
+
+
+def test_descriptor_parser():
+    d = nnet3.parse_descriptor(
+        "Append(Offset(input, -2), input, Sum(a, Scale(0.5, b)))"
+    )
+    assert d.op == "append" and len(d.args) == 3
+    assert d.args[0].op == "offset" and d.args[0].offset == -2
+    assert d.args[2].op == "sum"
+    assert d.args[2].args[1].scale == 0.5
+
+
+# ---------------------------------------------------------------------- PPG
+
+def test_full_ppg_pipeline(tmp_path, rng):
+    from fac_via_ppg_tpu.frontend import ppg as P
+    from fac_via_ppg_tpu.scripts.make_substitute_am import make_bundle
+
+    make_bundle(str(tmp_path), n_senones=50, n_phones=10, hidden_dim=16,
+                num_layers=2)
+    deps = P.DependenciesPPG(
+        nnet_path=str(tmp_path / "am" / "final.raw.txt"),
+        lda_path=str(tmp_path / "feats" / "final.mat"),
+        reduce_dim_path=str(tmp_path / "feats" / "reduce_dim.mat"),
+        splice_opts_path=str(tmp_path / "feats" / "splice_opts"),
+    )
+    assert (deps.left_context, deps.right_context) == ("3", "3")
+
+    wav = (rng.randn(8000) * 2000).astype(np.int16)
+    full = P.compute_full_ppg_wrapper(wav, 16000, deps.nnet, deps.lda, 10,
+                                      dither=0.0)
+    assert full.shape == (50, 50)  # 0.5 s at 10 ms -> 50 frames; 50 senones
+    np.testing.assert_allclose(full.sum(axis=1), 1.0, atol=1e-4)
+
+    mono = P.compute_monophone_ppg(
+        wav, 16000, deps.nnet, deps.lda, deps.monophone_trans, 10, dither=0.0
+    )
+    assert mono.shape == (50, 10)
+    # Monophone reduction preserves probability mass (reference
+    # test_ppg.py:56-73).
+    np.testing.assert_allclose(mono.sum(axis=1), 1.0, atol=1e-4)
