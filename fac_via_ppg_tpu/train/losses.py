@@ -1,0 +1,48 @@
+"""Loss functions (reference src/common/loss_function.py:36-53,
+src/waveglow/glow.py:43-59)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Numerically-stable elementwise BCE, torch BCEWithLogitsLoss semantics."""
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )
+
+
+def tacotron2_loss(
+    model_output,
+    targets,
+    mel_weight: float = 1.0,
+    gate_weight: float = 0.005,
+) -> jnp.ndarray:
+    """MSE(mel) + MSE(mel_postnet) + w_gate * BCE(gate).
+
+    Means are taken over ALL elements including padding, exactly like the
+    reference's nn.MSELoss/nn.BCEWithLogitsLoss on parse_output-masked
+    tensors: padded mel positions are zero in both pred and target (0 error)
+    and padded gate energies are forced to 1e3 against target 1 (~0 error).
+    """
+    mel_target, gate_target = targets
+    mel_out, mel_out_postnet, gate_out = model_output[0], model_output[1], \
+        model_output[2]
+    mel_loss = jnp.mean((mel_out - mel_target) ** 2) + jnp.mean(
+        (mel_out_postnet - mel_target) ** 2
+    )
+    gate_loss = jnp.mean(bce_with_logits(gate_out, gate_target))
+    return mel_weight * mel_loss + gate_weight * gate_loss
+
+
+def waveglow_loss(model_output, sigma: float = 1.0) -> jnp.ndarray:
+    """z^2/(2 sigma^2) - sum(log_s) - sum(log_det_W), normalized by z.size."""
+    z, log_s_list, log_det_w_list = model_output
+    log_s_total = sum(jnp.sum(log_s) for log_s in log_s_list)
+    log_det_total = sum(log_det_w_list)
+    loss = (
+        jnp.sum(z * z) / (2 * sigma * sigma) - log_s_total - log_det_total
+    )
+    return loss / (z.shape[0] * z.shape[1] * z.shape[2])

@@ -16,8 +16,17 @@ os.environ["XLA_FLAGS"] = (
 )
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+import jax  # noqa: E402
+
+# The session's TPU plugin force-selects its platform regardless of the env
+# var; the config option wins.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.default_backend() == "cpu", jax.devices()
+assert jax.device_count() == 8, jax.devices()
 
 
 @pytest.fixture
