@@ -1,0 +1,208 @@
+"""WaveGlow tests: invertibility (the property the reference never tests),
+loss finiteness/gradients, early-output channel bookkeeping, weight-norm
+folding, and grouping parity vs torch unfold."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fac_via_ppg_tpu.configs.hparams import WaveGlowConfig
+from fac_via_ppg_tpu.models.waveglow import (
+    flow_channels,
+    group_audio,
+    group_spect,
+    init_waveglow,
+    remove_weightnorm,
+    ungroup_audio,
+    waveglow_forward,
+    waveglow_infer,
+    wn_apply,
+)
+from fac_via_ppg_tpu.train.losses import waveglow_loss
+
+CFG = WaveGlowConfig(
+    n_mel_channels=16,
+    hop_length=32,
+    n_flows=6,
+    n_group=8,
+    n_early_every=2,
+    n_early_size=2,
+    wn_n_layers=3,
+    wn_n_channels=32,
+    wn_kernel_size=3,
+    upsample_kernel_size=64,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return jax.jit(functools.partial(init_waveglow, cfg=CFG))(
+        jax.random.PRNGKey(7)
+    )
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.RandomState(1)
+    B, T = 2, 1024
+    F = T // CFG.hop_length
+    audio = jnp.asarray(rng.randn(B, T) * 0.3, jnp.float32)
+    spect = jnp.asarray(rng.randn(B, CFG.n_mel_channels, F), jnp.float32)
+    return spect, audio
+
+
+def test_flow_channels():
+    assert flow_channels(CFG) == [8, 8, 6, 6, 4, 4]
+    full = WaveGlowConfig()
+    assert flow_channels(full) == [8, 8, 8, 8, 6, 6, 6, 6, 4, 4, 4, 4]
+
+
+def test_grouping_matches_torch_unfold(rng):
+    import torch
+
+    B, M, T = 2, 5, 48
+    x = rng.randn(B, M, T).astype(np.float32)
+    n_group = 8
+    t = torch.tensor(x)
+    ref = (
+        t.unfold(2, n_group, n_group)
+        .permute(0, 2, 1, 3)
+        .contiguous()
+        .view(B, T // n_group, -1)
+        .permute(0, 2, 1)
+    ).numpy()
+    mine = np.asarray(group_spect(jnp.asarray(x), n_group))
+    np.testing.assert_array_equal(mine, ref)
+
+    a = rng.randn(B, T).astype(np.float32)
+    ref_a = torch.tensor(a).unfold(1, n_group, n_group).permute(0, 2, 1).numpy()
+    mine_a = np.asarray(group_audio(jnp.asarray(a), n_group))
+    np.testing.assert_array_equal(mine_a, ref_a)
+    # ungroup inverts group
+    np.testing.assert_array_equal(
+        np.asarray(ungroup_audio(jnp.asarray(ref_a))), a
+    )
+
+
+def test_forward_shapes_and_z_distribution(params, batch):
+    spect, audio = batch
+    z, log_s_list, log_det_list = jax.jit(
+        functools.partial(waveglow_forward, CFG)
+    )(params, spect, audio)
+    B, T = audio.shape
+    assert z.shape == (B, CFG.n_group, T // CFG.n_group)
+    assert len(log_s_list) == CFG.n_flows
+    assert len(log_det_list) == CFG.n_flows
+    # Zero-initialized end convs: couplings start as identity, so log_s == 0.
+    for log_s in log_s_list:
+        assert float(jnp.abs(log_s).max()) == 0.0
+    # 1x1 convs are orthonormal at init: log|det| == 0.
+    for ld in log_det_list:
+        np.testing.assert_allclose(float(ld), 0.0, atol=1e-3)
+
+
+def test_loss_and_gradients(params, batch):
+    spect, audio = batch
+
+    def loss_fn(p):
+        out = waveglow_forward(CFG, p, spect, audio)
+        return waveglow_loss(out, sigma=0.7071)
+
+    loss, g = jax.jit(jax.value_and_grad(loss_fn))(params)
+    assert bool(jnp.isfinite(loss))
+    norm = jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree.leaves(g)))
+    assert bool(jnp.isfinite(norm)) and float(norm) > 0
+    # end-conv weights receive gradient (they gate the couplings)
+    assert float(jnp.abs(g["wn"][0]["end"]["weight"]).max()) > 0
+
+
+def test_forward_invertibility(params, batch):
+    """infer(forward(x)) == x when driven with the forward's own z.
+
+    The reference only ever samples z; true invertibility is the core
+    property of the flow and is verified here by manually reversing with the
+    recorded z."""
+    spect, audio = batch
+    z, _, _ = waveglow_forward(CFG, params, spect, audio)
+
+    # Reverse manually: run the inference loop but substitute recorded z.
+    inf_params = remove_weightnorm(params)
+    from fac_via_ppg_tpu.models.waveglow import conv_transpose1d_apply
+
+    spect_up = conv_transpose1d_apply(
+        inf_params["upsample"], spect, stride=CFG.hop_length
+    )[:, :, : audio.shape[1]]
+    spect_g = group_spect(spect_up, CFG.n_group)
+
+    chans = flow_channels(CFG)
+    # split z back into early chunks + final, mirroring forward's concat
+    sizes = []
+    for k, _ in enumerate(chans):
+        if k % CFG.n_early_every == 0 and k > 0:
+            sizes.append(CFG.n_early_size)
+    sizes.append(chans[-1])
+    splits = np.cumsum(sizes)[:-1]
+    chunks = jnp.split(z, splits, axis=1)
+
+    audio_rec = chunks[-1]
+    chunk_idx = len(chunks) - 2
+    for k in reversed(range(CFG.n_flows)):
+        n_half = audio_rec.shape[1] // 2
+        a0, a1 = audio_rec[:, :n_half], audio_rec[:, n_half:]
+        wn_out = wn_apply(CFG, inf_params["wn"][k], a0, spect_g)
+        s, b = wn_out[:, n_half:], wn_out[:, :n_half]
+        a1 = (a1 - b) * jnp.exp(-s)
+        audio_rec = jnp.concatenate([a0, a1], axis=1)
+        w_inv = inf_params["convinv"][k]["weight_inverse"]
+        audio_rec = jnp.einsum("oc,bct->bot", w_inv, audio_rec)
+        if k % CFG.n_early_every == 0 and k > 0:
+            audio_rec = jnp.concatenate([chunks[chunk_idx], audio_rec], axis=1)
+            chunk_idx -= 1
+
+    rec = np.asarray(ungroup_audio(audio_rec))
+    ref = np.asarray(audio)[:, : rec.shape[1]]
+    np.testing.assert_allclose(rec, ref, atol=5e-4)
+
+
+def test_infer_shapes_and_determinism(params, batch):
+    spect, _ = batch
+    inf_params = remove_weightnorm(params)
+    infer = jax.jit(
+        functools.partial(waveglow_infer, CFG, sigma=0.6),
+        static_argnames=(),
+    )
+    key = jax.random.PRNGKey(0)
+    audio1 = infer(inf_params, spect, key=key)
+    audio2 = infer(inf_params, spect, key=key)
+    F = spect.shape[2]
+    assert audio1.shape == (spect.shape[0], F * CFG.hop_length)
+    np.testing.assert_array_equal(np.asarray(audio1), np.asarray(audio2))
+    audio3 = infer(inf_params, spect, key=jax.random.PRNGKey(9))
+    assert np.abs(np.asarray(audio1) - np.asarray(audio3)).max() > 0
+    assert np.isfinite(np.asarray(audio1)).all()
+
+
+def test_weightnorm_fold_preserves_forward(params, batch):
+    spect, audio = batch
+    z1, ls1, ld1 = waveglow_forward(CFG, params, spect, audio)
+    folded = remove_weightnorm(params)
+    z2, ls2, ld2 = waveglow_forward(CFG, folded, spect, audio)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-5)
+
+
+def test_waveglow_loss_matches_reference_formula(params, batch):
+    spect, audio = batch
+    out = waveglow_forward(CFG, params, spect, audio)
+    z, log_s_list, log_det_list = out
+    sigma = 0.7071
+    expected = (
+        float(jnp.sum(z * z)) / (2 * sigma**2)
+        - sum(float(jnp.sum(s)) for s in log_s_list)
+        - sum(float(d) for d in log_det_list)
+    ) / (z.shape[0] * z.shape[1] * z.shape[2])
+    got = float(waveglow_loss(out, sigma=sigma))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
