@@ -1,0 +1,246 @@
+"""PPG2Mel (Tacotron2) trainer.
+
+Mirrors the reference driver (src/script/train_ppg2mel.py:180-305): hparams
+snapshot to output_dir/hparams.txt, eager dataset build, checkpoint resume /
+warm-start with epoch_offset recomputation, per-iteration loss/grad-norm/
+duration logging, validate + checkpoint every `iters_per_checkpoint`.
+
+TPU-native differences:
+  * the train step is one jitted, data-parallel XLA program over a
+    (data, model) mesh — `n_gpus`/`distributed_run` map to mesh size, and
+    there is no process-per-device, no NCCL rendezvous;
+  * batches are bucket-padded (`length_bucket_size`) so the step compiles a
+    bounded number of shapes;
+  * checkpoints are orbax pytrees ({iteration, params, opt_state,
+    learning_rate, model_state}).
+
+Usage: python -m fac_via_ppg_tpu.scripts.train_ppg2mel  (options via
+create_hparams kwargs, same as the reference).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from pprint import pprint
+
+import jax
+import numpy as np
+
+from fac_via_ppg_tpu.configs.hparams import Tacotron2Config, create_hparams
+from fac_via_ppg_tpu.data.ppg_mel_dataset import (
+    EpochBatcher,
+    PPGMelDataset,
+    ppg_acoustics_collate,
+)
+from fac_via_ppg_tpu.models.tacotron2 import init_tacotron2
+from fac_via_ppg_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from fac_via_ppg_tpu.train import checkpoint as ckpt
+from fac_via_ppg_tpu.train.logger import Tacotron2Logger
+from fac_via_ppg_tpu.train.optim import make_optimizer
+from fac_via_ppg_tpu.train.step import (
+    make_tacotron2_eval_step,
+    make_tacotron2_train_step,
+)
+
+
+def prepare_dataloaders(hparams):
+    trainset = PPGMelDataset(hparams.training_files, hparams)
+    hparams.load_feats_from_disk = False
+    hparams.is_cache_feats = False
+    hparams.feats_cache_path = ""
+    valset = PPGMelDataset(
+        hparams.validation_files, hparams,
+        deps=getattr(trainset, "ppg_deps", None),
+    )
+    pad_to = getattr(hparams, "length_bucket_size", 1)
+    train_loader = EpochBatcher(
+        trainset, hparams.batch_size, hparams.seed, ppg_acoustics_collate,
+        drop_last=True,
+        shard=jax.process_index(), num_shards=jax.process_count(),
+        pad_to=pad_to,
+    )
+    return train_loader, valset
+
+
+def prepare_directories_and_logger(output_directory, log_directory):
+    logger = None
+    if jax.process_index() == 0:
+        os.makedirs(output_directory, exist_ok=True)
+        logger = Tacotron2Logger(os.path.join(output_directory, log_directory))
+    return logger
+
+
+def validate(cfg, eval_step, params, model_state, valset, iteration,
+             batch_size, logger, pad_to):
+    loader = EpochBatcher(
+        valset, batch_size, 0, ppg_acoustics_collate, drop_last=False,
+        pad_to=pad_to,
+    )
+    val_loss, n = 0.0, 0
+    last = None
+    for batch in loader:
+        ppg, in_len, mel, gate, out_len = batch
+        loss, out = eval_step(
+            params, model_state, tuple(map(np.asarray, batch)),
+            jax.random.PRNGKey(iteration),
+        )
+        val_loss += float(loss)
+        n += 1
+        last = ((mel, gate), out)
+    val_loss /= max(n, 1)
+    if logger is not None and last is not None:
+        print("Validation loss {}: {:9f}  ".format(iteration, val_loss))
+        y, y_pred = last
+        logger.log_validation(val_loss, params, y, y_pred, iteration)
+    return val_loss
+
+
+def train(output_directory, log_directory, checkpoint_path, warm_start,
+          n_gpus, rank, group_name, hparams):
+    """Main training driver (signature matches the reference train())."""
+    del rank, group_name  # single-controller JAX: no per-process identity
+
+    cfg = Tacotron2Config.from_hparams(hparams)
+    key = jax.random.PRNGKey(hparams.seed)
+    key, k_init = jax.random.split(key)
+    params, model_state = init_tacotron2(k_init, cfg)
+
+    learning_rate = hparams.learning_rate
+    optimizer = make_optimizer(
+        learning_rate, hparams.weight_decay, hparams.grad_clip_thresh
+    )
+    opt_state = optimizer.init(params)
+
+    mesh = make_mesh(model=1)
+    params = replicate(mesh, params)
+    model_state = replicate(mesh, model_state)
+    opt_state = replicate(mesh, opt_state)
+
+    train_step = make_tacotron2_train_step(
+        cfg, optimizer, hparams.mel_weight, hparams.gate_weight
+    )
+    eval_step = make_tacotron2_eval_step(
+        cfg, hparams.mel_weight, hparams.gate_weight
+    )
+
+    logger = prepare_directories_and_logger(output_directory, log_directory)
+    train_loader, valset = prepare_dataloaders(hparams)
+    pad_to = getattr(hparams, "length_bucket_size", 1)
+
+    iteration = 0
+    epoch_offset = 0
+    if checkpoint_path:
+        if warm_start:
+            print("Warm starting model from checkpoint '%s'" % checkpoint_path)
+            params = replicate(mesh, ckpt.warm_start(checkpoint_path))
+        else:
+            restored = ckpt.load_checkpoint(
+                checkpoint_path,
+                like={
+                    "params": params,
+                    "opt_state": opt_state,
+                    "model_state": model_state,
+                },
+            )
+            params = replicate(mesh, restored["params"])
+            opt_state = replicate(mesh, restored["opt_state"])
+            model_state = replicate(
+                mesh, restored.get("model_state", model_state)
+            )
+            if hparams.use_saved_learning_rate:
+                learning_rate = restored["learning_rate"]
+            iteration = restored["iteration"] + 1
+            epoch_offset = max(0, int(iteration / len(train_loader)))
+            print(
+                "Loaded checkpoint '%s' from iteration %d"
+                % (checkpoint_path, iteration - 1)
+            )
+
+    for epoch in range(epoch_offset, hparams.epochs):
+        print("Epoch: {}".format(epoch))
+        for batch in train_loader:
+            start = time.perf_counter()
+            # reference rewrites lr every iteration (train_ppg2mel.py:234)
+            opt_state.hyperparams["learning_rate"] = learning_rate
+
+            key, k_step = jax.random.split(key)
+            device_batch = shard_batch(mesh, tuple(np.asarray(x) for x in batch))
+            out = train_step(
+                params, model_state, opt_state, device_batch, k_step
+            )
+            params, model_state, opt_state = (
+                out.params, out.model_state, out.opt_state,
+            )
+            reduced_loss = float(out.loss)
+            grad_norm = float(out.grad_norm)
+
+            if not math.isnan(reduced_loss) and jax.process_index() == 0:
+                duration = time.perf_counter() - start
+                print(
+                    "Train loss {} {:.6f} Grad Norm {:.6f} {:.2f}s/it".format(
+                        iteration, reduced_loss, grad_norm, duration
+                    )
+                )
+                if logger is not None:
+                    logger.log_training(
+                        reduced_loss, grad_norm, learning_rate, duration,
+                        iteration,
+                    )
+
+            if iteration % hparams.iters_per_checkpoint == 0:
+                validate(cfg, eval_step, params, model_state, valset,
+                         iteration, hparams.batch_size, logger, pad_to)
+                if jax.process_index() == 0:
+                    path = os.path.join(
+                        output_directory, "checkpoint_{}".format(iteration)
+                    )
+                    print(
+                        "Saving model and optimizer state at iteration "
+                        "{} to {}".format(iteration, path)
+                    )
+                    ckpt.save_checkpoint(
+                        path, params, opt_state, learning_rate, iteration,
+                        model_state,
+                    )
+
+            iteration += 1
+
+    return params, model_state, opt_state, iteration
+
+
+def main(**kwargs):
+    hparams = create_hparams(**kwargs)
+
+    if not hparams.output_directory:
+        raise FileExistsError("Please specify the output dir.")
+    os.makedirs(hparams.output_directory, exist_ok=True)
+
+    with open(
+        os.path.join(hparams.output_directory, "hparams.txt"), "w"
+    ) as writer:
+        pprint(hparams.__dict__, writer)
+
+    print("Devices:", jax.devices())
+    return train(
+        hparams.output_directory, hparams.log_directory,
+        hparams.checkpoint_path, hparams.warm_start, hparams.n_gpus,
+        hparams.rank, hparams.group_name, hparams,
+    )
+
+
+if __name__ == "__main__":
+    import sys
+
+    # "key=value" CLI overrides, e.g. output_directory=/tmp/run epochs=2
+    overrides = {}
+    for arg in sys.argv[1:]:
+        k, _, v = arg.partition("=")
+        try:
+            import ast
+
+            overrides[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            overrides[k] = v
+    main(**overrides)

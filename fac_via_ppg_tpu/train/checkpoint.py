@@ -1,0 +1,80 @@
+"""Checkpoint save / load / warm-start.
+
+Reference semantics (train_ppg2mel.py:122-149, train_waveglow.py:45-64):
+dicts of {iteration, model weights, optimizer state, learning_rate}, saved
+every `iters_per_checkpoint` on rank 0, resumable with `iteration + 1` and
+`epoch_offset = iteration // len(train_loader)`; `warm_start` loads weights
+only.  The WaveGlow trainer pickled the entire torch module; here both
+models use the same pytree format (orbax), and a converter imports the two
+torch formats for parity testing (train/import_torch.py).
+
+Orbax writes sharding-aware, async-capable checkpoints — the TPU-native
+replacement for torch.save.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    path: str,
+    params,
+    opt_state,
+    learning_rate: float,
+    iteration: int,
+    model_state=None,
+):
+    """Save {iteration, state_dict, optimizer, learning_rate} (+BN state)."""
+    path = os.path.abspath(path)
+    payload = {
+        "iteration": np.asarray(iteration, np.int64),
+        "learning_rate": np.asarray(learning_rate, np.float64),
+        "params": _to_host(params),
+        "opt_state": _to_host(opt_state),
+    }
+    if model_state is not None:
+        payload["model_state"] = _to_host(model_state)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(path: str, like: Optional[Dict[str, Any]] = None
+                    ) -> Dict[str, Any]:
+    """Load a checkpoint into host numpy pytrees.
+
+    `like` supplies the target pytree structure ({"params": ..,
+    "opt_state": .., "model_state": ..}); without it, NamedTuple-typed
+    containers (e.g. optax states) come back as plain dicts and cannot be
+    fed to the optimizer.  Pass the freshly-initialized trees when resuming.
+    """
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if like is not None:
+        template = {
+            "iteration": np.asarray(0, np.int64),
+            "learning_rate": np.asarray(0.0, np.float64),
+        }
+        for k, v in like.items():
+            template[k] = _to_host(v)
+        restored = ckptr.restore(path, template)
+    else:
+        restored = ckptr.restore(path)
+    restored["iteration"] = int(restored["iteration"])
+    restored["learning_rate"] = float(restored["learning_rate"])
+    return restored
+
+
+def warm_start(path: str):
+    """Weights-only restore (reference warm_start_model)."""
+    return load_checkpoint(path)["params"]

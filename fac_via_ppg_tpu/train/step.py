@@ -1,0 +1,105 @@
+"""Jitted training steps: data-parallel over a jax mesh.
+
+One function per model.  The step closes over static config and is jitted
+with the batch sharded on the mesh 'data' axis and params replicated; XLA
+inserts the ICI gradient reductions automatically (SURVEY.md section 5.8 —
+this replaces the reference's per-parameter NCCL backward hooks,
+distributed.py:90-142).  Loss is averaged over the global batch, so the
+resulting update is identical to the reference's allreduce-mean-of-grads.
+
+The same compiled step runs on 1 device (mesh of 1) or N chips.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fac_via_ppg_tpu.configs.hparams import Tacotron2Config, WaveGlowConfig
+from fac_via_ppg_tpu.models.tacotron2 import tacotron2_forward
+from fac_via_ppg_tpu.models.waveglow import waveglow_forward
+from fac_via_ppg_tpu.train.losses import tacotron2_loss, waveglow_loss
+from fac_via_ppg_tpu.train.optim import global_norm
+
+
+class StepOut(NamedTuple):
+    params: object
+    model_state: object
+    opt_state: object
+    loss: jnp.ndarray
+    grad_norm: jnp.ndarray
+
+
+def make_tacotron2_train_step(cfg: Tacotron2Config, optimizer,
+                              mel_weight: float = 1.0,
+                              gate_weight: float = 0.005,
+                              donate: bool = True):
+    """Returns jitted (params, model_state, opt_state, batch, key) -> StepOut.
+
+    batch = (ppg_padded, input_lengths, acoustic_padded, gate_padded,
+             output_lengths) — the collate layout (data_utils.py:281-334).
+    """
+
+    def loss_fn(params, model_state, batch, key):
+        ppg, in_len, mel, gate, out_len = batch
+        out, new_state = tacotron2_forward(
+            cfg, params, model_state, ppg, in_len, mel, out_len, key,
+            training=True,
+        )
+        loss = tacotron2_loss(out, (mel, gate), mel_weight, gate_weight)
+        return loss, new_state
+
+    def step(params, model_state, opt_state, batch, key):
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, model_state, batch, key
+        )
+        gnorm = global_norm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return StepOut(params, new_state, opt_state, loss, gnorm)
+
+    donate_args = (0, 1, 2) if donate else ()
+    return jax.jit(step, donate_argnums=donate_args)
+
+
+def make_tacotron2_eval_step(cfg: Tacotron2Config, mel_weight: float = 1.0,
+                             gate_weight: float = 0.005):
+    """Validation loss (+ outputs for logging images)."""
+
+    def step(params, model_state, batch, key):
+        ppg, in_len, mel, gate, out_len = batch
+        out, _ = tacotron2_forward(
+            cfg, params, model_state, ppg, in_len, mel, out_len, key,
+            training=False,
+        )
+        loss = tacotron2_loss(out, (mel, gate), mel_weight, gate_weight)
+        return loss, out
+
+    return jax.jit(step)
+
+
+def make_waveglow_train_step(cfg: WaveGlowConfig, optimizer, sigma: float,
+                             donate: bool = True):
+    """Returns jitted (params, opt_state, batch) -> StepOut.
+
+    batch = (mel (B, 80, F), audio (B, T)).
+    """
+
+    def loss_fn(params, batch):
+        mel, audio = batch
+        out = waveglow_forward(cfg, params, mel, audio)
+        return waveglow_loss(out, sigma=sigma)
+
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        gnorm = global_norm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return StepOut(params, None, opt_state, loss, gnorm)
+
+    donate_args = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=donate_args)

@@ -1,0 +1,248 @@
+"""Training-stack tests: optimizer parity vs torch Adam, train-step loss
+decrease, checkpoint round-trip, collate semantics, data-parallel
+equivalence on the 8-device CPU mesh."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fac_via_ppg_tpu.configs.hparams import Tacotron2Config, WaveGlowConfig
+from fac_via_ppg_tpu.data.ppg_mel_dataset import (
+    EpochBatcher,
+    compute_delta_acc_feat,
+    ppg_acoustics_collate,
+)
+from fac_via_ppg_tpu.models.tacotron2 import init_tacotron2
+from fac_via_ppg_tpu.models.waveglow import init_waveglow
+from fac_via_ppg_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from fac_via_ppg_tpu.train import checkpoint as ckpt
+from fac_via_ppg_tpu.train.optim import make_optimizer
+from fac_via_ppg_tpu.train.step import (
+    make_tacotron2_train_step,
+    make_waveglow_train_step,
+)
+
+CFG = Tacotron2Config(
+    n_symbols=32, symbols_embedding_dim=32, encoder_embedding_dim=32,
+    decoder_rnn_dim=24, prenet_dim=16, attention_rnn_dim=24,
+    attention_dim=12, attention_location_n_filters=4,
+    attention_location_kernel_size=7, postnet_embedding_dim=24,
+    max_decoder_steps=40,
+)
+
+
+def _batch(rng, B=4, T_in=12, T_out=16):
+    ppg = np.abs(rng.rand(B, CFG.n_symbols, T_in)).astype(np.float32)
+    in_len = np.array([T_in] * B, np.int64)
+    mel = rng.randn(B, 80, T_out).astype(np.float32) * 0.1
+    out_len = np.array([T_out] * B, np.int64)
+    gate = (np.arange(T_out)[None, :] >= (out_len - 1)[:, None]).astype(
+        np.float32
+    )
+    return ppg, in_len, mel, gate, out_len
+
+
+def test_adam_matches_torch(rng):
+    """clip -> L2 decay -> adam == torch clip_grad_norm_ + Adam(weight_decay)."""
+    import torch
+
+    w0 = rng.randn(5, 3).astype(np.float32)
+    lr, wd, clip = 1e-2, 1e-2, 0.5
+
+    # torch side
+    p = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.Adam([p], lr=lr, weight_decay=wd)
+    torch_grads = [rng.randn(5, 3).astype(np.float32) * 2 for _ in range(5)]
+    for g in torch_grads:
+        opt.zero_grad()
+        p.grad = torch.tensor(g.copy())
+        torch.nn.utils.clip_grad_norm_([p], clip)
+        opt.step()
+
+    # jax side
+    optimizer = make_optimizer(lr, wd, clip)
+    params = {"w": jnp.asarray(w0)}
+    state = optimizer.init(params)
+    for g in torch_grads:
+        updates, state = optimizer.update({"w": jnp.asarray(g)}, state, params)
+        params = jax.tree_util.tree_map(lambda a, b: a + b, params, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), p.detach().numpy(), atol=1e-5
+    )
+
+
+def test_tacotron2_train_step_decreases_loss(rng):
+    params, state = init_tacotron2(jax.random.PRNGKey(0), CFG)
+    optimizer = make_optimizer(1e-3, 1e-6, 1.0)
+    opt_state = optimizer.init(params)
+    step = make_tacotron2_train_step(CFG, optimizer, donate=False)
+
+    batch = tuple(map(jnp.asarray, _batch(rng)))
+    # Fixed dropout key: deterministic objective so the decrease is not
+    # drowned by fresh dropout noise over a short run.
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(20):
+        out = step(params, state, opt_state, batch, key)
+        params, state, opt_state = out.params, out.model_state, out.opt_state
+        losses.append(float(out.loss))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], losses
+
+
+def test_waveglow_train_step_decreases_loss(rng):
+    cfg = WaveGlowConfig(
+        n_mel_channels=8, hop_length=16, n_flows=4, n_group=4,
+        n_early_every=2, n_early_size=2, wn_n_layers=2, wn_n_channels=16,
+        wn_kernel_size=3, upsample_kernel_size=32,
+    )
+    params = init_waveglow(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(1e-3)
+    opt_state = optimizer.init(params)
+    step = make_waveglow_train_step(cfg, optimizer, sigma=0.7071, donate=False)
+
+    mel = jnp.asarray(rng.randn(2, 8, 16), jnp.float32)
+    audio = jnp.asarray(rng.randn(2, 256) * 0.1, jnp.float32)
+    losses = []
+    for _ in range(8):
+        out = step(params, opt_state, (mel, audio))
+        params, opt_state = out.params, out.opt_state
+        losses.append(float(out.loss))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], losses
+
+
+def test_lr_injection(rng):
+    optimizer = make_optimizer(1e-3)
+    params = {"w": jnp.zeros(3)}
+    state = optimizer.init(params)
+    state.hyperparams["learning_rate"] = 5e-4
+    updates, _ = optimizer.update({"w": jnp.ones(3)}, state, params)
+    # adam first step: update = -lr * sign-ish(grad)
+    np.testing.assert_allclose(
+        np.asarray(updates["w"]), -5e-4 * np.ones(3), rtol=1e-3
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    params, state = init_tacotron2(jax.random.PRNGKey(0), CFG)
+    optimizer = make_optimizer(1e-3, 1e-6, 1.0)
+    opt_state = optimizer.init(params)
+    path = str(tmp_path / "checkpoint_5")
+    ckpt.save_checkpoint(path, params, opt_state, 1e-3, 5, state)
+    restored = ckpt.load_checkpoint(
+        path,
+        like={"params": params, "opt_state": opt_state, "model_state": state},
+    )
+    assert restored["iteration"] == 5
+    assert restored["learning_rate"] == 1e-3
+    # optax NamedTuple structure survives (needed to resume the optimizer)
+    assert hasattr(restored["opt_state"], "hyperparams")
+    orig = jax.tree.leaves(params)
+    back = jax.tree.leaves(restored["params"])
+    assert len(orig) == len(back)
+    for a, b in zip(orig, back):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # warm start returns weights only
+    w = ckpt.warm_start(path)
+    assert len(jax.tree.leaves(w)) == len(orig)
+
+
+def test_collate_reference_semantics(rng):
+    batch = [
+        (rng.randn(10, 6).astype(np.float32), rng.randn(14, 5).astype(np.float32)),
+        (rng.randn(7, 6).astype(np.float32), rng.randn(9, 5).astype(np.float32)),
+        (rng.randn(12, 6).astype(np.float32), rng.randn(17, 5).astype(np.float32)),
+    ]
+    ppg, in_len, mel, gate, out_len = ppg_acoustics_collate(batch)
+    # sorted by input length descending
+    np.testing.assert_array_equal(in_len, [12, 10, 7])
+    assert ppg.shape == (3, 6, 12)
+    assert mel.shape == (3, 5, 17)
+    # gate = 1 from last valid frame on (reference data_utils.py:327)
+    np.testing.assert_array_equal(out_len, [17, 14, 9])
+    assert gate[1, 13] == 1 and gate[1, 12] == 0 and gate[1, 16] == 1
+    # zero padding beyond lengths
+    assert np.abs(ppg[2, :, 7:]).max() == 0
+
+
+def test_collate_bucketing(rng):
+    batch = [
+        (rng.randn(10, 6).astype(np.float32), rng.randn(14, 5).astype(np.float32)),
+    ]
+    ppg, in_len, mel, gate, out_len = ppg_acoustics_collate(batch, pad_to=16)
+    assert ppg.shape[2] == 16
+    assert mel.shape[2] == 16
+    assert in_len[0] == 10 and out_len[0] == 14
+    assert gate[0, 13] == 1 and gate[0, 15] == 1
+
+
+def test_delta_acc_windows(rng):
+    x = rng.randn(20, 3)
+    out = compute_delta_acc_feat(x, True, True)
+    assert out.shape == (20, 9)
+    # interior: delta = 0.5*(x[t+1] - x[t-1])
+    t = 10
+    np.testing.assert_allclose(
+        out[t, 3:6], 0.5 * (x[t + 1] - x[t - 1]), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        out[t, 6:9], 0.25 * x[t + 2] - 0.5 * x[t] + 0.25 * x[t - 2], atol=1e-12
+    )
+    with pytest.raises(ValueError):
+        compute_delta_acc_feat(x, False, True)
+
+
+def test_epoch_batcher_sharding():
+    data = [(np.zeros((5, 2), np.float32), np.zeros((6, 3), np.float32))] * 16
+
+    def fake_collate(b, pad_to=1):
+        return len(b)
+
+    shard_sizes = []
+    for shard in range(2):
+        b = EpochBatcher(data, 4, seed=0, collate_fn=fake_collate,
+                         shard=shard, num_shards=2)
+        shard_sizes.append(sum(1 for _ in b))
+    assert shard_sizes == [2, 2]
+
+
+def test_data_parallel_step_matches_single_device(rng):
+    """The sharded step must produce the same update as unsharded.
+
+    SGD is used so the comparison is linear in the gradients; Adam's
+    first step is ~sign(g), which amplifies reduction-order noise on
+    near-zero gradients into full +-lr flips.
+    """
+    import optax
+
+    params, state = init_tacotron2(jax.random.PRNGKey(0), CFG)
+    optimizer = optax.sgd(1e-2)
+    opt_state = optimizer.init(params)
+    step = make_tacotron2_train_step(CFG, optimizer, donate=False)
+    batch = _batch(rng, B=8)
+    key = jax.random.PRNGKey(2)
+
+    out_single = step(params, state, opt_state,
+                      tuple(map(jnp.asarray, batch)), key)
+
+    mesh = make_mesh(data=8, model=1)
+    p2 = replicate(mesh, params)
+    s2 = replicate(mesh, state)
+    o2 = replicate(mesh, opt_state)
+    sharded = shard_batch(mesh, batch)
+    out_sharded = step(p2, s2, o2, sharded, key)
+
+    np.testing.assert_allclose(
+        float(out_single.loss), float(out_sharded.loss), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(out_single.params),
+                    jax.tree.leaves(out_sharded.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        )
