@@ -1,0 +1,76 @@
+"""Headline benchmark: WaveGlow synthesis real-time factor per chip.
+
+Prints ONE JSON line:
+  {"metric": "waveglow_rtf", "value": <x realtime>, "unit": "x_realtime",
+   "vs_baseline": <value / 50>}
+
+The baseline is the north-star target from BASELINE.md: >= 50x real-time
+WaveGlow mel->waveform synthesis per TPU v5e chip at the reference
+operating point (16 kHz, 80-mel, hop 160, sigma 0.6, full 12-flow
+n_group=8 model).  vs_baseline > 1.0 beats the target.
+
+Protocol: full-size WaveGlow (untrained weights — FLOPs are identical),
+weight-norm folded as in deployment, batch x 10 s of audio per call,
+3 warmup + 10 timed iterations, block_until_ready.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_waveglow_rtf(batch: int = 4, seconds: float = 10.0,
+                       warmup: int = 3, iters: int = 10) -> dict:
+    from fac_via_ppg_tpu.configs.hparams import WaveGlowConfig
+    from fac_via_ppg_tpu.models.waveglow import (
+        init_waveglow,
+        remove_weightnorm,
+        waveglow_infer,
+    )
+
+    cfg = WaveGlowConfig()
+    sr = 16000
+    n_frames = int(seconds * sr) // cfg.hop_length
+
+    key = jax.random.PRNGKey(0)
+    params = remove_weightnorm(init_waveglow(key, cfg))
+    mel = jnp.asarray(
+        np.random.RandomState(0).randn(batch, cfg.n_mel_channels, n_frames),
+        jnp.float32,
+    ) * 0.5 - 5.0
+
+    infer = jax.jit(lambda p, m, k: waveglow_infer(cfg, p, m, 0.6, k))
+    for i in range(warmup):
+        jax.block_until_ready(infer(params, mel, jax.random.PRNGKey(i)))
+
+    start = time.perf_counter()
+    for i in range(iters):
+        out = infer(params, mel, jax.random.PRNGKey(100 + i))
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    audio_seconds = iters * batch * (n_frames * cfg.hop_length) / sr
+    rtf = audio_seconds / elapsed
+    return {
+        "metric": "waveglow_rtf",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 50.0, 3),
+        "detail": {
+            "batch": batch,
+            "seconds_per_utt": seconds,
+            "iters": iters,
+            "elapsed_s": round(elapsed, 3),
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
+if __name__ == "__main__":
+    result = bench_waveglow_rtf()
+    print(json.dumps(result))

@@ -1,0 +1,127 @@
+"""End-to-end accent-conversion synthesis CLI.
+
+Mirrors the reference (src/script/generate_synthesis.py:29-103): same
+argparse surface (--ppg2mel_model, --waveglow_model,
+--teacher_utterance_path, --output_dir), same operating point (sigma 0.6,
+denoiser strength 0.005 mode 'zeros', gate 0.5, fs 16000), same debug.log,
+same output name `ac.wav`.
+
+Pipeline: wav -> PPG (Kaldi-convention front-end + TDNN) -> Tacotron2
+autoregressive mel -> WaveGlow -> Denoiser -> 16 kHz wav — each stage one
+jitted XLA program on the TPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax
+import numpy as np
+from scipy.io import wavfile
+
+from fac_via_ppg_tpu.configs.hparams import (
+    Tacotron2Config,
+    WaveGlowConfig,
+    create_hparams_stage,
+)
+from fac_via_ppg_tpu.dsp.stft import TacotronSTFT
+from fac_via_ppg_tpu.frontend import ppg as ppg_mod
+from fac_via_ppg_tpu.models.denoiser import Denoiser
+from fac_via_ppg_tpu.utils.inference import (
+    get_inference,
+    load_tacotron2_model,
+    load_waveglow_model,
+    waveglow_audio,
+)
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Generate accent conversion speech using pre-trained"
+        "models."
+    )
+    parser.add_argument("--ppg2mel_model", type=str, required=True,
+                        help="Path to the PPG-to-Mel model.")
+    parser.add_argument("--waveglow_model", type=str, required=True,
+                        help="Path to the WaveGlow model.")
+    parser.add_argument("--teacher_utterance_path", type=str, required=True,
+                        help="Path to a native speaker recording.")
+    parser.add_argument("--output_dir", type=str, required=True,
+                        help="Output dir, will save the audio and log info.")
+    args = parser.parse_args()
+
+    output_dir = args.output_dir
+    os.makedirs(output_dir, exist_ok=True)
+    logging.basicConfig(
+        filename=os.path.join(output_dir, "debug.log"), level=logging.DEBUG
+    )
+    logging.info("Output dir: %s", output_dir)
+
+    teacher_utt_path = args.teacher_utterance_path
+    checkpoint_path = args.ppg2mel_model
+    waveglow_path = args.waveglow_model
+    is_clip = False
+    fs = 16000
+    waveglow_sigma = 0.6
+    denoiser_mode = "zeros"
+    denoiser_strength = 0.005
+
+    logging.debug("Tacotron: %s", checkpoint_path)
+    logging.debug("Waveglow: %s", waveglow_path)
+    logging.debug("AM: SI model")
+    logging.debug("is_clip: %d", is_clip)
+    logging.debug("Fs: %d", fs)
+    logging.debug("Sigma: %f", waveglow_sigma)
+    logging.debug("Denoiser strength: %f", denoiser_strength)
+    logging.debug("Denoiser mode: %s", denoiser_mode)
+
+    hparams = create_hparams_stage()
+    taco_stft = TacotronSTFT(
+        hparams.filter_length, hparams.hop_length, hparams.win_length,
+        hparams.n_acoustic_feat_dims, hparams.sampling_rate,
+        hparams.mel_fmin, hparams.mel_fmax,
+    )
+    del taco_stft  # parity with the reference; mel analysis is not needed
+
+    t2_cfg = Tacotron2Config.from_hparams(hparams)
+    wg_cfg = WaveGlowConfig()
+    tacotron_params, tacotron_state = load_tacotron2_model(
+        checkpoint_path, t2_cfg
+    )
+    waveglow_params = load_waveglow_model(waveglow_path, wg_cfg)
+    denoiser = Denoiser(wg_cfg, waveglow_params, mode=denoiser_mode)
+
+    deps = ppg_mod.DependenciesPPG()
+    key = jax.random.PRNGKey(hparams.seed)
+
+    if os.path.isfile(teacher_utt_path):
+        logging.info("Perform AC on %s", teacher_utt_path)
+        teacher_ppg = ppg_mod.get_ppg(teacher_utt_path, deps)
+        key, k_mel, k_wg = jax.random.split(key, 3)
+        ac_mel = get_inference(
+            teacher_ppg, t2_cfg, tacotron_params, tacotron_state, k_mel,
+            is_clip,
+        )
+        ac_wav = waveglow_audio(
+            ac_mel, wg_cfg, waveglow_params, waveglow_sigma, k_wg
+        )
+        ac_wav = np.asarray(
+            denoiser(ac_wav, strength=denoiser_strength)
+        )[0, 0]
+
+        output_file = os.path.join(output_dir, "ac.wav")
+        wavfile.write(
+            output_file, fs,
+            (np.clip(ac_wav, -1.0, 1.0) * 32767).astype(np.int16),
+        )
+        print("Wrote", output_file)
+    else:
+        logging.warning("Missing %s", teacher_utt_path)
+
+    logging.info("Done!")
+
+
+if __name__ == "__main__":
+    main()

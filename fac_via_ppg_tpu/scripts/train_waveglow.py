@@ -1,0 +1,163 @@
+"""WaveGlow trainer.
+
+Mirrors the reference driver (src/script/train_waveglow.py:66-188): 4-section
+JSON config (train/data/dist/waveglow) with a snapshot into the output dir,
+per-iteration loss prints, checkpoints every `iters_per_checkpoint`.
+
+TPU-native: one jitted data-parallel step over the jax mesh; fixed-size
+segment crops give a single compiled shape.  Checkpoints are orbax pytrees
+(the reference pickled the whole torch module, train_waveglow.py:56-64).
+
+Usage: python -m fac_via_ppg_tpu.scripts.train_waveglow [-c config.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from fac_via_ppg_tpu.configs import DEFAULT_WAVEGLOW_CONFIG_PATH
+from fac_via_ppg_tpu.configs.hparams import WaveGlowConfig
+from fac_via_ppg_tpu.data.mel2samp import Mel2Samp, mel2samp_collate
+from fac_via_ppg_tpu.data.ppg_mel_dataset import EpochBatcher
+from fac_via_ppg_tpu.models.waveglow import init_waveglow
+from fac_via_ppg_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from fac_via_ppg_tpu.train import checkpoint as ckpt
+from fac_via_ppg_tpu.train.logger import WaveglowLogger
+from fac_via_ppg_tpu.train.optim import make_optimizer
+from fac_via_ppg_tpu.train.step import make_waveglow_train_step
+
+
+def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
+          sigma, iters_per_checkpoint, batch_size, seed, checkpoint_path,
+          data_config=None, waveglow_config=None):
+    """Signature mirrors the reference train() (train_waveglow.py:66)."""
+    del num_gpus, rank, group_name  # single-controller JAX
+
+    cfg = WaveGlowConfig.from_dict(waveglow_config or {})
+    key = jax.random.PRNGKey(seed)
+    key, k_init = jax.random.split(key)
+    params = init_waveglow(k_init, cfg)
+
+    optimizer = make_optimizer(learning_rate)
+    opt_state = optimizer.init(params)
+
+    mesh = make_mesh(model=1)
+    params = replicate(mesh, params)
+    opt_state = replicate(mesh, opt_state)
+
+    step = make_waveglow_train_step(cfg, optimizer, sigma=sigma)
+
+    iteration = 0
+    if checkpoint_path:
+        restored = ckpt.load_checkpoint(
+            checkpoint_path, like={"params": params, "opt_state": opt_state}
+        )
+        params = replicate(mesh, restored["params"])
+        opt_state = replicate(mesh, restored["opt_state"])
+        iteration = restored["iteration"] + 1
+        print(
+            "Loaded checkpoint '{}' (iteration {})".format(
+                checkpoint_path, restored["iteration"]
+            )
+        )
+
+    trainset = Mel2Samp(**data_config)
+    train_loader = EpochBatcher(
+        trainset, batch_size, seed, mel2samp_collate, drop_last=True,
+        shard=jax.process_index(), num_shards=jax.process_count(),
+    )
+
+    log_dir = os.path.join(output_directory, "log")
+    logger = None
+    if jax.process_index() == 0:
+        os.makedirs(log_dir, exist_ok=True)
+        print("output directory", output_directory)
+        print("log directory", log_dir)
+        logger = WaveglowLogger(log_dir)
+
+    epoch_offset = max(0, int(iteration / max(len(train_loader), 1)))
+    for epoch in range(epoch_offset, epochs):
+        print("Epoch: {}".format(epoch))
+        for batch in train_loader:
+            start = time.perf_counter()
+            device_batch = shard_batch(mesh, tuple(np.asarray(x) for x in batch))
+            out = step(params, opt_state, device_batch)
+            params, opt_state = out.params, out.opt_state
+            reduced_loss = float(out.loss)
+            duration = time.perf_counter() - start
+
+            print("{}:\t{:.9f}\t({:.2f}s/it)".format(
+                iteration, reduced_loss, duration))
+            if logger is not None:
+                logger.log_training(reduced_loss, iteration)
+
+            if iteration % iters_per_checkpoint == 0:
+                if jax.process_index() == 0:
+                    path = "{}/waveglow_{}".format(output_directory, iteration)
+                    print(
+                        "Saving model and optimizer state at iteration "
+                        "{} to {}".format(iteration, path)
+                    )
+                    ckpt.save_checkpoint(
+                        path, params, opt_state, learning_rate, iteration
+                    )
+            iteration += 1
+
+    return params, opt_state, iteration
+
+
+def main(config_file_path: str = DEFAULT_WAVEGLOW_CONFIG_PATH, **overrides):
+    with open(config_file_path) as f:
+        config = json.load(f)
+
+    train_config = dict(config["train_config"])
+    train_config.update(
+        {k: v for k, v in overrides.items() if k in train_config}
+    )
+    data_config = dict(config["data_config"])
+    data_config.update(
+        {k: v for k, v in overrides.items() if k in data_config}
+    )
+    dist_config = config.get("dist_config", {})
+    waveglow_config = config["waveglow_config"]
+
+    if not os.path.exists(train_config["output_directory"]):
+        os.makedirs(train_config["output_directory"], exist_ok=True)
+
+    # Snapshot the resolved config (reference train_waveglow.py:163-166).
+    snapshot = os.path.join(train_config["output_directory"], "config.json")
+    with open(snapshot, "w") as writer:
+        json.dump(config, writer)
+
+    print("Devices:", jax.devices())
+    return train(
+        jax.device_count(), dist_config.get("rank", 0),
+        dist_config.get("group_name", ""), **train_config,
+        data_config=data_config, waveglow_config=waveglow_config,
+    )
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", type=str,
+                        default=DEFAULT_WAVEGLOW_CONFIG_PATH,
+                        help="JSON file for configuration")
+    parser.add_argument("overrides", nargs="*",
+                        help="key=value overrides for train/data config")
+    args = parser.parse_args()
+    overrides = {}
+    for arg in args.overrides:
+        k, _, v = arg.partition("=")
+        try:
+            import ast
+
+            overrides[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            overrides[k] = v
+    main(args.config, **overrides)

@@ -1,0 +1,81 @@
+"""Batched WaveGlow vocoder inference CLI.
+
+Mirrors the reference (src/waveglow/inference.py:33-73): a filelist of mel
+.npy files -> wavs, sigma / denoiser options.  BASELINE config 2 surface
+("Batched WaveGlow vocoder inference").
+
+The reference loads `.pt` mel tensors; here mels are `.npy` (n_mel, T)
+arrays as produced by scripts/mel2samp_dump.py.  Same-length mels are
+stacked into true device batches.
+
+Usage:
+  python -m fac_via_ppg_tpu.scripts.waveglow_inference -f mels.txt \
+      -w waveglow_ckpt -o outdir [-s 1.0] [-d 0.0] [-b 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+from scipy.io import wavfile
+
+from fac_via_ppg_tpu.configs.hparams import WaveGlowConfig
+from fac_via_ppg_tpu.data.mel2samp import MAX_WAV_VALUE, files_to_list
+from fac_via_ppg_tpu.models.denoiser import Denoiser
+from fac_via_ppg_tpu.models.waveglow import waveglow_infer
+from fac_via_ppg_tpu.utils.inference import load_waveglow_model
+
+
+def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
+         batch_size=1, sampling_rate=16000):
+    cfg = WaveGlowConfig()
+    params = load_waveglow_model(waveglow_path, cfg)
+    denoiser = Denoiser(cfg, params) if denoiser_strength > 0 else None
+
+    files = files_to_list(mel_files)
+    os.makedirs(output_dir, exist_ok=True)
+    key = jax.random.PRNGKey(0)
+
+    # Group same-shaped mels into batches to amortize compiles + fill MXU.
+    mels = [(f, np.load(f)) for f in files]
+    by_len = {}
+    for f, m in mels:
+        by_len.setdefault(m.shape[-1], []).append((f, m))
+
+    infer = jax.jit(
+        lambda p, m, k: waveglow_infer(cfg, p, m, sigma, k)
+    )
+    for length, group in by_len.items():
+        for i in range(0, len(group), batch_size):
+            chunk = group[i : i + batch_size]
+            mel_batch = np.stack([m for _, m in chunk]).astype(np.float32)
+            key, sub = jax.random.split(key)
+            audio = infer(params, mel_batch, sub)
+            if denoiser is not None:
+                audio = denoiser(audio, strength=denoiser_strength)[:, 0, :]
+            audio = np.asarray(audio * MAX_WAV_VALUE).astype(np.int16)
+            for (f, _), wav in zip(chunk, audio):
+                out = os.path.join(
+                    output_dir, os.path.basename(f) + "_synthesis.wav"
+                )
+                wavfile.write(out, sampling_rate, wav)
+                print(out)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-f", "--filelist_path", required=True)
+    parser.add_argument("-w", "--waveglow_path", required=True,
+                        help="Path to waveglow checkpoint")
+    parser.add_argument("-o", "--output_dir", required=True)
+    parser.add_argument("-s", "--sigma", default=1.0, type=float)
+    parser.add_argument("-d", "--denoiser_strength", default=0.0, type=float,
+                        help="Removes model bias. Start with 0.1 and adjust")
+    parser.add_argument("-b", "--batch_size", default=1, type=int)
+    parser.add_argument("--sampling_rate", default=16000, type=int)
+    args = parser.parse_args()
+    main(args.filelist_path, args.waveglow_path, args.output_dir, args.sigma,
+         args.denoiser_strength, args.batch_size, args.sampling_rate)

@@ -49,27 +49,55 @@ def save_checkpoint(
     ckptr.wait_until_finished()
 
 
-def load_checkpoint(path: str, like: Optional[Dict[str, Any]] = None
-                    ) -> Dict[str, Any]:
+def _restructure(raw, template):
+    """Re-impose `template`'s container types onto orbax's raw restore.
+
+    Orbax (without a typed target) returns plain dicts for every mapping —
+    NamedTuples (optax states) and lists come back as dicts keyed by field
+    name / stringified index.  Walk the template structure and rebuild.
+    """
+    if isinstance(template, dict):
+        return {k: _restructure(raw[k], v) for k, v in template.items()}
+    if isinstance(template, tuple) and hasattr(template, "_fields"):
+        values = (
+            _restructure(
+                raw[f] if isinstance(raw, dict) else raw[i],
+                getattr(template, f),
+            )
+            for i, f in enumerate(template._fields)
+        )
+        return type(template)(*values)
+    if isinstance(template, (list, tuple)):
+        if isinstance(raw, dict):
+            raw = [raw[str(i)] for i in range(len(template))]
+        seq = [_restructure(r, t) for r, t in zip(raw, template)]
+        return type(template)(seq) if isinstance(template, tuple) else seq
+    if raw is None or template is None:
+        return raw
+    return np.asarray(raw)
+
+
+def load_checkpoint(path: str, like: Optional[Dict[str, Any]] = None,
+                    partial: bool = False) -> Dict[str, Any]:
     """Load a checkpoint into host numpy pytrees.
 
-    `like` supplies the target pytree structure ({"params": ..,
-    "opt_state": .., "model_state": ..}); without it, NamedTuple-typed
-    containers (e.g. optax states) come back as plain dicts and cannot be
-    fed to the optimizer.  Pass the freshly-initialized trees when resuming.
+    `like` supplies target pytree structures for a subset of the payload
+    ({"params": .., "opt_state": .., "model_state": ..}); without it,
+    NamedTuple-typed containers (e.g. optax states) come back as plain
+    dicts and cannot be fed back to the optimizer.  Leaves of `like` may be
+    ShapeDtypeStructs (jax.eval_shape) — only structure matters.
+    `partial` permits the checkpoint to carry keys absent from `like`.
     """
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path)
+    restored = dict(restored)
     if like is not None:
-        template = {
-            "iteration": np.asarray(0, np.int64),
-            "learning_rate": np.asarray(0.0, np.float64),
-        }
-        for k, v in like.items():
-            template[k] = _to_host(v)
-        restored = ckptr.restore(path, template)
-    else:
-        restored = ckptr.restore(path)
+        for k, template in like.items():
+            if k in restored:
+                restored[k] = _restructure(restored[k], template)
+            elif not partial:
+                raise KeyError(f"Checkpoint {path} lacks key {k!r}.")
     restored["iteration"] = int(restored["iteration"])
     restored["learning_rate"] = float(restored["learning_rate"])
     return restored
