@@ -44,14 +44,18 @@ def bench_waveglow_rtf(batch: int = 4, seconds: float = 10.0,
         jnp.float32,
     ) * 0.5 - 5.0
 
-    infer = jax.jit(lambda p, m, k: waveglow_infer(cfg, p, m, 0.6, k))
+    # The chain ends in a scalar host readback: on the tunneled TPU platform
+    # block_until_ready alone has been observed returning before execution
+    # completes, which would inflate the result.
+    infer = jax.jit(
+        lambda p, m, k: jnp.sum(waveglow_infer(cfg, p, m, 0.6, k))
+    )
     for i in range(warmup):
-        jax.block_until_ready(infer(params, mel, jax.random.PRNGKey(i)))
+        float(infer(params, mel, jax.random.PRNGKey(i)))
 
     start = time.perf_counter()
     for i in range(iters):
-        out = infer(params, mel, jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(out)
+        float(infer(params, mel, jax.random.PRNGKey(100 + i)))
     elapsed = time.perf_counter() - start
 
     audio_seconds = iters * batch * (n_frames * cfg.hop_length) / sr

@@ -144,6 +144,52 @@ def init_waveglow(key, cfg: WaveGlowConfig):
 
 
 # ==========================================================================
+# upsampler
+# ==========================================================================
+
+def upsample_phase_matmul(p: dict, spect: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """ConvTranspose1d(k=1024, stride=hop) as one phase-decomposed matmul.
+
+    A transpose conv expressed via lhs_dilation makes XLA slide the dense
+    1024-tap kernel over a 160x zero-dilated input — three orders of
+    magnitude of wasted MACs (measured 886 ms of a 1050 ms inference call).
+    Subpixel decomposition writes output sample t = q*hop + p as
+
+        out[b, q*hop + p, o] = sum_{j, i} spect[b, q - j, i] * W[i, o, j*hop + p]
+
+    i.e. ONE (B, F, J*C_in) @ (J*C_in, hop*C_out) MXU matmul, where
+    J = ceil(k / hop) shifted copies of the mel frames.  Covers output
+    samples [0, F*hop) — exactly what both the training path (sliced to
+    audio length <= F*hop) and the inference path (artifact cutoff k - hop)
+    consume.
+
+    Returns (B, C_out, F*hop).
+    """
+    weight = p["weight"]  # (C_in, C_out, K) torch layout
+    c_in, c_out, k = weight.shape
+    j_taps = -(-k // hop)  # ceil
+    # (J, hop, C_in, C_out), zero beyond kernel length
+    w = jnp.zeros((j_taps * hop, c_in, c_out), weight.dtype)
+    w = w.at[:k].set(weight.transpose(2, 0, 1))
+    w = w.reshape(j_taps, hop, c_in, c_out)
+    # (J*C_in, hop*C_out)
+    w_mat = w.transpose(0, 2, 1, 3).reshape(j_taps * c_in, hop * c_out)
+
+    B, _, F = spect.shape
+    x = spect.transpose(0, 2, 1)  # (B, F, C_in)
+    x_pad = jnp.pad(x, ((0, 0), (j_taps - 1, 0), (0, 0)))
+    # stacked shifts: x_shift[:, q, j, :] = x[q - j]
+    shifts = [x_pad[:, j_taps - 1 - j : j_taps - 1 - j + F] for j in range(j_taps)]
+    x_cat = jnp.concatenate(shifts, axis=-1)  # (B, F, J*C_in)
+
+    out = jnp.dot(x_cat, w_mat, preferred_element_type=jnp.float32)
+    out = out.reshape(B, F, hop, c_out)
+    if "bias" in p:
+        out = out + p["bias"]
+    return out.reshape(B, F * hop, c_out).transpose(0, 2, 1)
+
+
+# ==========================================================================
 # WN coupling network
 # ==========================================================================
 
@@ -222,8 +268,8 @@ def ungroup_audio(audio: jnp.ndarray) -> jnp.ndarray:
 def waveglow_forward(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
                      audio: jnp.ndarray):
     """((B, 80, F) mel, (B, T) audio) -> (z, log_s_list, log_det_w_list)."""
-    spect_up = conv_transpose1d_apply(
-        params["upsample"], spect, stride=cfg.hop_length
+    spect_up = upsample_phase_matmul(
+        params["upsample"], spect, cfg.hop_length
     )
     T = audio.shape[1]
     spect_up = spect_up[:, :, :T]
@@ -303,11 +349,12 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
     `params` should be the remove_weightnorm form; the train form also works
     (inverses computed on the fly).
     """
-    spect_up = conv_transpose1d_apply(
-        params["upsample"], spect, stride=cfg.hop_length
+    # Phase-decomposed transpose conv already yields exactly F*hop samples,
+    # i.e. the reference's artifact cutoff (k - hop) is built in
+    # (glow.py:254-256).
+    spect_up = upsample_phase_matmul(
+        params["upsample"], spect, cfg.hop_length
     )
-    cutoff = cfg.upsample_kernel_size - cfg.hop_length
-    spect_up = spect_up[:, :, :-cutoff] if cutoff else spect_up
     spect_g = group_spect(spect_up, cfg.n_group)
     B, _, G = spect_g.shape
 
