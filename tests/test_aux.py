@@ -1,0 +1,152 @@
+"""Auxiliary subsystem tests: loss scaling, precision policy, old-format
+WaveGlow conversion, profiling hooks, pitch tracking, eval harness units."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fac_via_ppg_tpu.configs.hparams import WaveGlowConfig
+from fac_via_ppg_tpu.eval.parity import mel_mse
+from fac_via_ppg_tpu.train.precision import (
+    DynamicLossScaler,
+    StaticLossScaler,
+    get_policy,
+)
+from fac_via_ppg_tpu.train.profiling import StepTimer
+from fac_via_ppg_tpu.utils.pitch import estimate_f0
+
+
+def test_policy_casting():
+    policy = get_policy("bfloat16")
+    tree = {"w": jnp.ones((3,), jnp.float32), "i": jnp.ones((2,), jnp.int32)}
+    cast = policy.cast_to_compute(tree)
+    assert cast["w"].dtype == jnp.bfloat16
+    assert cast["i"].dtype == jnp.int32  # non-float leaves untouched
+    back = policy.cast_to_param(cast)
+    assert back["w"].dtype == jnp.float32
+
+
+def test_dynamic_loss_scaler_overflow_halves_scale():
+    scaler = DynamicLossScaler(init_scale=1024.0, scale_window=4)
+    state = scaler.init()
+    bad = {"g": jnp.array([jnp.inf, 1.0])}
+    grads, state, ok = scaler.unscale(bad, state)
+    assert not bool(ok)
+    assert float(state.scale) == 512.0
+    # overflowed grads are zeroed, not propagated as inf*scale
+    assert float(jnp.nan_to_num(grads["g"][1])) == 0.0
+
+
+def test_dynamic_loss_scaler_growth_after_window():
+    scaler = DynamicLossScaler(init_scale=8.0, scale_window=3)
+    state = scaler.init()
+    good = {"g": jnp.array([1.0, 2.0])}
+    for i in range(3):
+        grads, state, ok = scaler.unscale(good, state)
+        assert bool(ok)
+    assert float(state.scale) == 16.0
+    np.testing.assert_allclose(np.asarray(grads["g"]), [1 / 8, 2 / 8])
+
+
+def test_static_loss_scaler():
+    scaler = StaticLossScaler(scale=4.0)
+    state = scaler.init()
+    grads, state, ok = scaler.unscale({"g": jnp.array([8.0])}, state)
+    assert bool(ok) and float(grads["g"][0]) == 2.0
+    assert float(state.scale) == 4.0
+
+
+def test_old_waveglow_conversion(rng):
+    """Old res+skip layers fuse to res_skip with identical WN outputs."""
+    torch = pytest.importorskip("torch")
+
+    cfg = WaveGlowConfig(
+        n_mel_channels=8, hop_length=16, n_flows=2, n_group=4,
+        n_early_every=4, n_early_size=2, wn_n_layers=3, wn_n_channels=16,
+        wn_kernel_size=3, upsample_kernel_size=32,
+    )
+    from fac_via_ppg_tpu.models.waveglow import wn_apply
+    from fac_via_ppg_tpu.train.convert_model import (
+        import_old_waveglow_state_dict,
+    )
+    from fac_via_ppg_tpu.train.import_torch import import_waveglow_state_dict
+
+    # Build a NEW-format state dict, then synthesize the OLD format from it
+    # by splitting res_skip into res+skip; conversion must round-trip.
+    def t(shape):
+        return torch.randn(*shape) * 0.1
+
+    sd_new = {"upsample.weight": t((8, 8, 32)), "upsample.bias": t((8,))}
+    for k in range(cfg.n_flows):
+        sd_new[f"convinv.{k}.conv.weight"] = t((4, 4, 1))
+        sd_new[f"WN.{k}.start.weight"] = t((16, 2, 1))
+        sd_new[f"WN.{k}.start.bias"] = t((16,))
+        sd_new[f"WN.{k}.end.weight"] = t((4, 16, 1))
+        sd_new[f"WN.{k}.end.bias"] = t((4,))
+        for i in range(cfg.wn_n_layers):
+            sd_new[f"WN.{k}.in_layers.{i}.weight"] = t((32, 16, 3))
+            sd_new[f"WN.{k}.in_layers.{i}.bias"] = t((32,))
+            sd_new[f"WN.{k}.cond_layers.{i}.weight"] = t((32, 32, 1))
+            sd_new[f"WN.{k}.cond_layers.{i}.bias"] = t((32,))
+            ch = 32 if i < cfg.wn_n_layers - 1 else 16
+            sd_new[f"WN.{k}.res_skip_layers.{i}.weight"] = t((ch, 16, 1))
+            sd_new[f"WN.{k}.res_skip_layers.{i}.bias"] = t((ch,))
+
+    sd_old = {
+        key: v for key, v in sd_new.items() if ".res_skip_layers." not in key
+    }
+    for k in range(cfg.n_flows):
+        for i in range(cfg.wn_n_layers):
+            w = sd_new[f"WN.{k}.res_skip_layers.{i}.weight"]
+            b = sd_new[f"WN.{k}.res_skip_layers.{i}.bias"]
+            if i < cfg.wn_n_layers - 1:
+                sd_old[f"WN.{k}.res_layers.{i}.weight"] = w[:16]
+                sd_old[f"WN.{k}.res_layers.{i}.bias"] = b[:16]
+                sd_old[f"WN.{k}.skip_layers.{i}.weight"] = w[16:]
+                sd_old[f"WN.{k}.skip_layers.{i}.bias"] = b[16:]
+            else:
+                sd_old[f"WN.{k}.skip_layers.{i}.weight"] = w
+                sd_old[f"WN.{k}.skip_layers.{i}.bias"] = b
+
+    p_new = import_waveglow_state_dict(sd_new, cfg)
+    p_old = import_old_waveglow_state_dict(sd_old, cfg)
+
+    audio = jnp.asarray(rng.randn(2, 2, 64), jnp.float32)
+    spect = jnp.asarray(rng.randn(2, 32, 64), jnp.float32)
+    out_new = wn_apply(cfg, p_new["wn"][0], audio, spect)
+    out_old = wn_apply(cfg, p_old["wn"][0], audio, spect)
+    np.testing.assert_allclose(
+        np.asarray(out_old), np.asarray(out_new), atol=1e-6
+    )
+
+
+def test_step_timer():
+    import time
+
+    timer = StepTimer()
+    with timer:
+        time.sleep(0.01)
+    assert timer.duration >= 0.01
+    assert timer.ema is not None
+
+
+def test_estimate_f0_sine(rng):
+    fs = 16000
+    t = np.arange(fs) / fs
+    wav = np.sin(2 * np.pi * 150 * t) * 8000
+    f0 = estimate_f0(wav, fs)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.8 * len(f0)
+    np.testing.assert_allclose(np.median(voiced), 150, rtol=0.03)
+    # silence -> unvoiced
+    f0_sil = estimate_f0(np.zeros(8000), fs)
+    assert (f0_sil == 0).all()
+
+
+def test_mel_mse():
+    a = np.ones((80, 10))
+    b = np.zeros((80, 12))
+    assert mel_mse(a, b) == 1.0
+    assert mel_mse(a, a) == 0.0
