@@ -252,6 +252,7 @@ def compute_mfcc(
     fs: float,
     opts: MfccOptions | None = None,
     seed: int = 0,
+    backend: str = "auto",
 ) -> np.ndarray:
     """Waveform -> (n_frames, num_ceps) MFCCs, Kaldi conventions.
 
@@ -261,6 +262,10 @@ def compute_mfcc(
         fs: sampling frequency of `wav`.
         opts: MfccOptions.
         seed: dither PRNG seed (only used when frame_opts.dither != 0).
+        backend: 'auto' prefers the native C++ library (the host-side hot
+            loop, matching the reference's reliance on Kaldi C++ here) and
+            falls back to numpy; 'native'/'numpy' force one.  The two agree
+            to 1e-3 except in dither noise (different PRNGs, both seeded).
     """
     opts = opts or MfccOptions()
     fo = opts.frame_opts
@@ -275,6 +280,15 @@ def compute_mfcc(
                 "and allow_downsample is off."
             )
         wav = resample_waveform(wav, fs, fo.samp_freq)
+
+    if backend in ("auto", "native"):
+        from fac_via_ppg_tpu import native
+
+        out = native.mfcc_compute(wav, fo.samp_freq, opts, seed=seed)
+        if out is not None:
+            return out
+        if backend == "native":
+            raise RuntimeError("native frontend library unavailable")
 
     idx = frame_indices(len(wav), fo)
     frames = wav[idx]  # (T, window_size)
