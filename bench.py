@@ -47,29 +47,39 @@ def bench_waveglow_rtf(batch: int = 4, seconds: float = 10.0,
     # The chain ends in a scalar host readback: on the tunneled TPU platform
     # block_until_ready alone has been observed returning before execution
     # completes, which would inflate the result.
-    infer = jax.jit(
-        lambda p, m, k: jnp.sum(waveglow_infer(cfg, p, m, 0.6, k))
-    )
-    for i in range(warmup):
-        float(infer(params, mel, jax.random.PRNGKey(i)))
+    def measure(dtype):
+        infer = jax.jit(
+            lambda p, m, k: jnp.sum(
+                waveglow_infer(cfg, p, m, 0.6, k, dtype=dtype).astype(
+                    jnp.float32
+                )
+            )
+        )
+        for i in range(warmup):
+            float(infer(params, mel, jax.random.PRNGKey(i)))
+        start = time.perf_counter()
+        for i in range(iters):
+            float(infer(params, mel, jax.random.PRNGKey(100 + i)))
+        elapsed = time.perf_counter() - start
+        audio_seconds = iters * batch * (n_frames * cfg.hop_length) / sr
+        return audio_seconds / elapsed, elapsed
 
-    start = time.perf_counter()
-    for i in range(iters):
-        float(infer(params, mel, jax.random.PRNGKey(100 + i)))
-    elapsed = time.perf_counter() - start
-
-    audio_seconds = iters * batch * (n_frames * cfg.hop_length) / sr
-    rtf = audio_seconds / elapsed
+    # Serving precision is bf16 (fp32 accumulation, fp32 1x1 inverses) —
+    # the TPU analogue of the reference's fp16 inference mode; 55 dB SNR
+    # vs the fp32 path with matched noise.
+    rtf_bf16, elapsed = measure(jnp.bfloat16)
+    rtf_f32, _ = measure(None)
     return {
         "metric": "waveglow_rtf",
-        "value": round(rtf, 2),
+        "value": round(rtf_bf16, 2),
         "unit": "x_realtime",
-        "vs_baseline": round(rtf / 50.0, 3),
+        "vs_baseline": round(rtf_bf16 / 50.0, 3),
         "detail": {
             "batch": batch,
             "seconds_per_utt": seconds,
             "iters": iters,
             "elapsed_s": round(elapsed, 3),
+            "rtf_float32": round(rtf_f32, 2),
             "device": str(jax.devices()[0]),
         },
     }

@@ -185,7 +185,8 @@ def upsample_phase_matmul(p: dict, spect: jnp.ndarray, hop: int) -> jnp.ndarray:
     out = jnp.dot(x_cat, w_mat, preferred_element_type=jnp.float32)
     out = out.reshape(B, F, hop, c_out)
     if "bias" in p:
-        out = out + p["bias"]
+        out = out + p["bias"].astype(jnp.float32)
+    out = out.astype(x.dtype)  # fp32 accumulation, compute-dtype output
     return out.reshape(B, F * hop, c_out).transpose(0, 2, 1)
 
 
@@ -342,13 +343,35 @@ def remove_weightnorm(params):
     return out
 
 
+def cast_params(params, dtype):
+    """Cast floating-point leaves (e.g. to bf16 for inference serving)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params,
+    )
+
+
 def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
-                   sigma: float, key) -> jnp.ndarray:
+                   sigma: float, key, dtype=None) -> jnp.ndarray:
     """(B, 80, F) mel -> (B, T) audio (reference glow.py:252-293).
 
     `params` should be the remove_weightnorm form; the train form also works
     (inverses computed on the fly).
+
+    `dtype=jnp.bfloat16` runs the flows in bf16 with fp32 matmul
+    accumulation — the TPU analogue of the reference's fp16 inference mode
+    (inference.py:38-41, which likewise keeps the 1x1 inverses in fp32).
+    Default (None) is full float32.
     """
+    if dtype is not None:
+        # 1x1 inverses stay fp32 like the reference's is_fp16 path.
+        inv = [p.get("weight_inverse") for p in params["convinv"]]
+        params = cast_params(params, dtype)
+        for p, w in zip(params["convinv"], inv):
+            if w is not None:
+                p["weight_inverse"] = w
+        spect = spect.astype(dtype)
     # Phase-decomposed transpose conv already yields exactly F*hop samples,
     # i.e. the reference's artifact cutoff (k - hop) is built in
     # (glow.py:254-256).
@@ -361,7 +384,11 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
     chans = flow_channels(cfg)
     n_remaining = chans[-1]
     key, sub = jax.random.split(key)
-    audio = sigma * jax.random.normal(sub, (B, n_remaining, G), spect.dtype)
+    # Noise is always drawn in fp32 so that a given key produces the same z
+    # regardless of compute dtype, then cast.
+    audio = (
+        sigma * jax.random.normal(sub, (B, n_remaining, G), jnp.float32)
+    ).astype(spect_g.dtype)
 
     for k in reversed(range(cfg.n_flows)):
         audio_ch = audio.shape[1]
@@ -377,17 +404,18 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
         conv = params["convinv"][k]
         w_inv = conv.get("weight_inverse")
         if w_inv is None:
-            w_inv = jnp.linalg.inv(conv["weight"])
+            w_inv = jnp.linalg.inv(conv["weight"].astype(jnp.float32))
         audio = jnp.einsum(
             "oc,bct->bot", w_inv, audio,
             preferred_element_type=jnp.float32,
-        )
+        ).astype(spect_g.dtype)
 
         if k % cfg.n_early_every == 0 and k > 0:
             key, sub = jax.random.split(key)
-            z = sigma * jax.random.normal(
-                sub, (B, cfg.n_early_size, G), spect.dtype
-            )
+            z = (
+                sigma
+                * jax.random.normal(sub, (B, cfg.n_early_size, G), jnp.float32)
+            ).astype(spect_g.dtype)
             audio = jnp.concatenate([z, audio], axis=1)
 
     return ungroup_audio(audio)
