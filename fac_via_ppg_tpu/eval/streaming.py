@@ -1,0 +1,192 @@
+"""Streaming end-to-end accent conversion (BASELINE config 5).
+
+A three-stage pipeline over a stream of utterances:
+
+  stage 1 (host threads): wav read + Kaldi-convention front-end (native
+            C++ MFCC) -> AM input features
+  stage 2 (device): TDNN PPG forward + Tacotron2 autoregressive mel
+  stage 3 (device): WaveGlow vocoder (+ optional denoiser)
+
+Stages are connected by bounded queues so utterance N's host feature
+extraction overlaps utterance N-1's device synthesis — the TPU analogue of
+the reference's sequential generate_synthesis loop.
+
+CLI: python -m fac_via_ppg_tpu.eval.streaming --ppg2mel_model CKPT \
+        --waveglow_model CKPT --filelist wavs.txt --output_dir out/
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import numpy as np
+from scipy.io import wavfile
+
+from fac_via_ppg_tpu.configs.hparams import (
+    Tacotron2Config,
+    WaveGlowConfig,
+    create_hparams_stage,
+)
+from fac_via_ppg_tpu.frontend import ppg as ppg_mod
+from fac_via_ppg_tpu.models.denoiser import Denoiser
+from fac_via_ppg_tpu.utils.inference import (
+    get_inference,
+    load_tacotron2_model,
+    load_waveglow_model,
+    waveglow_audio,
+)
+
+
+@dataclass
+class StreamResult:
+    wav_path: str
+    audio: np.ndarray
+    audio_seconds: float
+    wall_seconds: float
+
+
+class StreamingAccentConverter:
+    def __init__(self, t2_cfg: Tacotron2Config, tacotron_params,
+                 tacotron_state, wg_cfg: WaveGlowConfig, waveglow_params,
+                 deps: Optional[ppg_mod.DependenciesPPG] = None,
+                 sigma: float = 0.6, denoiser_strength: float = 0.005,
+                 queue_depth: int = 4):
+        self.t2_cfg = t2_cfg
+        self.tacotron_params = tacotron_params
+        self.tacotron_state = tacotron_state
+        self.wg_cfg = wg_cfg
+        self.waveglow_params = waveglow_params
+        self.deps = deps or ppg_mod.DependenciesPPG()
+        self.sigma = sigma
+        self.denoiser = (
+            Denoiser(wg_cfg, waveglow_params)
+            if denoiser_strength > 0 else None
+        )
+        self.denoiser_strength = denoiser_strength
+        self.queue_depth = queue_depth
+
+    def run(self, wav_paths, key=None):
+        """Yields StreamResult per utterance, with stage overlap."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        feat_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
+        _SENT = object()
+        errors = []
+
+        def frontend_worker():
+            try:
+                for path in wav_paths:
+                    t0 = time.perf_counter()
+                    teacher_ppg = ppg_mod.get_ppg(path, self.deps)
+                    feat_q.put((path, teacher_ppg, time.perf_counter() - t0))
+            except BaseException as e:
+                errors.append(e)
+            finally:
+                feat_q.put(_SENT)
+
+        thread = threading.Thread(target=frontend_worker, daemon=True)
+        thread.start()
+
+        while True:
+            item = feat_q.get()
+            if item is _SENT:
+                if errors:
+                    raise errors[0]
+                return
+            path, teacher_ppg, frontend_s = item
+            t0 = time.perf_counter()
+            key, k_mel, k_wg = jax.random.split(key, 3)
+            # Length-bucketed shapes throughout: one compiled decoder /
+            # vocoder / denoiser serves every utterance length.
+            mel = get_inference(
+                teacher_ppg, self.t2_cfg, self.tacotron_params,
+                self.tacotron_state, k_mel, pad_to_frames=64,
+            )
+            t_mel = mel.shape[-1]
+            bucket = 100
+            t_pad = ((t_mel + bucket - 1) // bucket) * bucket
+            mel = np.pad(
+                np.asarray(mel), ((0, 0), (0, 0), (0, t_pad - t_mel)),
+                constant_values=float(np.log(1e-5)),
+            )
+            audio = waveglow_audio(
+                mel, self.wg_cfg, self.waveglow_params, self.sigma, k_wg
+            )
+            if self.denoiser is not None:
+                audio = self.denoiser(
+                    audio, strength=self.denoiser_strength
+                )[:, 0, :]
+            audio = np.asarray(audio)[0][: t_mel * self.wg_cfg.hop_length]
+            wall = time.perf_counter() - t0 + frontend_s
+            yield StreamResult(
+                wav_path=path,
+                audio=audio,
+                audio_seconds=len(audio) / 16000.0,
+                wall_seconds=wall,
+            )
+
+
+def main():
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ppg2mel_model", required=True)
+    parser.add_argument("--waveglow_model", required=True)
+    parser.add_argument("--filelist", required=True)
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--sigma", type=float, default=0.6)
+    parser.add_argument("--denoiser_strength", type=float, default=0.005)
+    args = parser.parse_args()
+
+    hparams = create_hparams_stage()
+    t2_cfg = Tacotron2Config.from_hparams(hparams)
+    wg_cfg = WaveGlowConfig()
+    t2_params, t2_state = load_tacotron2_model(args.ppg2mel_model, t2_cfg)
+    wg_params = load_waveglow_model(args.waveglow_model, wg_cfg)
+
+    with open(args.filelist) as f:
+        wavs = [line.strip() for line in f if line.strip()]
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    converter = StreamingAccentConverter(
+        t2_cfg, t2_params, t2_state, wg_cfg, wg_params,
+        sigma=args.sigma, denoiser_strength=args.denoiser_strength,
+    )
+    total_audio = total_wall = 0.0
+    steady_audio = steady_wall = 0.0
+    n = 0
+    t_start = time.perf_counter()
+    for result in converter.run(wavs):
+        out = os.path.join(
+            args.output_dir,
+            os.path.basename(result.wav_path).replace(".wav", "_ac.wav"),
+        )
+        wavfile.write(
+            out, 16000,
+            (np.clip(result.audio, -1, 1) * 32767).astype(np.int16),
+        )
+        total_audio += result.audio_seconds
+        total_wall += result.wall_seconds
+        if n > 0:  # first utterance pays the jit compiles
+            steady_audio += result.audio_seconds
+            steady_wall += result.wall_seconds
+        n += 1
+        print(
+            f"{out}: {result.audio_seconds:.2f}s audio in "
+            f"{result.wall_seconds:.2f}s"
+        )
+    pipeline_wall = time.perf_counter() - t_start
+    if total_audio:
+        print(
+            f"stream RTF {total_audio / pipeline_wall:.2f}x incl. compile; "
+            f"steady-state {steady_audio / max(steady_wall, 1e-9):.2f}x"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -38,7 +38,9 @@ class Denoiser:
         else:
             raise ValueError(f"Mode {mode} if not supported")
 
-        bias_audio = waveglow_infer(cfg, waveglow_params, mel_input, 0.0, key)
+        bias_audio = jax.jit(
+            lambda p, m, k: waveglow_infer(cfg, p, m, 0.0, k)
+        )(waveglow_params, mel_input, key)
         bias_spec, _ = self.stft.transform(bias_audio)
         # first frame's magnitude column is the bias template
         self.bias_spec = bias_spec[:, :, 0][:, :, None]

@@ -376,6 +376,7 @@ def tacotron2_inference(
     state,
     ppg: jnp.ndarray,   # (B, n_symbols, T_in); B=1 matches reference usage
     key,
+    input_lengths=None,
 ):
     """Autoregressive decode (model.py:597-610, 489-535).
 
@@ -384,10 +385,15 @@ def tacotron2_inference(
     `lax.while_loop` writing into preallocated buffers, so early stop saves
     real device time.  Prenet dropout stays ON (reference behavior).
 
+    `input_lengths` defaults to the full T_in (reference model.py:599);
+    passing true lengths lets callers bucket-pad the PPG so one compiled
+    shape serves many utterance lengths.
+
     Returns (mel_out, mel_out_postnet, gate_out, alignments, n_steps).
     """
     B, _, T_in = ppg.shape
-    input_lengths = jnp.full((B,), T_in, jnp.int32)
+    if input_lengths is None:
+        input_lengths = jnp.full((B,), T_in, jnp.int32)
     key, k_enc = jax.random.split(key)
     memory, _ = encoder_apply(params, state, ppg, input_lengths, k_enc,
                               training=False)

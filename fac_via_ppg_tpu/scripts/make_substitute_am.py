@@ -69,6 +69,17 @@ def make_bundle(out_dir: str, n_senones: int = 5816, n_phones: int = 40,
         for i, phone in enumerate(ARPABET):
             f.write(f"{phone}\t{i}\n")
 
+    # Position-dependent phone table (like data/am/phones.txt): eps +
+    # silence variants + 4 word-position variants per non-sil phone.
+    with open(os.path.join(out_dir, "am", "phones.txt"), "w") as f:
+        idx = 0
+        f.write(f"<eps> {idx}\n"); idx += 1
+        for sil in ("sil", "sil_B", "sil_E", "sil_I", "sil_S"):
+            f.write(f"{sil.upper()} {idx}\n"); idx += 1
+        for phone in ARPABET[:-1]:
+            for pos in ("B", "E", "I", "S"):
+                f.write(f"{phone.upper()}_{pos} {idx}\n"); idx += 1
+
 
 if __name__ == "__main__":
     default = os.path.join(

@@ -158,15 +158,20 @@ def train(output_directory, log_directory, checkpoint_path, warm_start,
                 % (checkpoint_path, iteration - 1)
             )
 
+    from fac_via_ppg_tpu.data.prefetch import prefetch
+
+    place = lambda batch: shard_batch(  # noqa: E731
+        mesh, tuple(np.asarray(x) for x in batch)
+    )
     for epoch in range(epoch_offset, hparams.epochs):
         print("Epoch: {}".format(epoch))
-        for batch in train_loader:
+        # Collation + H2D transfer of batch N+1 overlap step N on device.
+        for device_batch in prefetch(train_loader, place, depth=2):
             start = time.perf_counter()
             # reference rewrites lr every iteration (train_ppg2mel.py:234)
             opt_state.hyperparams["learning_rate"] = learning_rate
 
             key, k_step = jax.random.split(key)
-            device_batch = shard_batch(mesh, tuple(np.asarray(x) for x in batch))
             out = train_step(
                 params, model_state, opt_state, device_batch, k_step
             )
