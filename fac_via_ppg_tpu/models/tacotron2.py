@@ -156,16 +156,33 @@ def prenet_apply(p: dict, x: jnp.ndarray, key) -> jnp.ndarray:
     return x
 
 
-def encoder_apply(params, state, ppg, input_lengths, key, training: bool):
-    """(B, n_symbols, T_in) -> memory (B, T_in, E), new encoder state."""
+def encoder_apply(params, state, ppg, input_lengths, key, training: bool,
+                  mask_convs: bool = False):
+    """(B, n_symbols, T_in) -> memory (B, T_in, E), new encoder state.
+
+    `mask_convs` zeroes activations beyond each sequence's length before
+    every conv so a bucket-padded input reproduces the unpadded computation
+    exactly (conv biases otherwise leak across the boundary through the
+    receptive field).  Kept OFF for training to match the reference's
+    padded-batch semantics (model.py:215-235 does not mask convs either);
+    ON for bucketed serving.
+    """
     p, s = params["encoder"], state["encoder"]
     key, kp = jax.random.split(key)
     x = prenet_apply(p["prenet"], ppg.transpose(0, 2, 1), kp)  # (B, T, E)
     x = x.transpose(0, 2, 1)  # (B, E, T)
 
+    valid = None
+    if mask_convs and input_lengths is not None:
+        valid = (
+            jnp.arange(x.shape[2])[None, None, :]
+            < input_lengths[:, None, None]
+        )
+
     new_bn = []
-    pad = (5 - 1) // 2  # encoder_kernel_size
     for conv_p, bn_s in zip(p["convolutions"], s["convolutions"]):
+        if valid is not None:
+            x = jnp.where(valid, x, 0.0)
         k = conv_p["conv"]["weight"].shape[2]
         x = conv1d_apply(conv_p["conv"], x, padding=(k - 1) // 2)
         x, bn_new = batchnorm_apply(conv_p["bn"], bn_s, x, training)
@@ -396,7 +413,7 @@ def tacotron2_inference(
         input_lengths = jnp.full((B,), T_in, jnp.int32)
     key, k_enc = jax.random.split(key)
     memory, _ = encoder_apply(params, state, ppg, input_lengths, k_enc,
-                              training=False)
+                              training=False, mask_convs=True)
     processed_memory = linear_apply(
         params["decoder"]["attention"]["memory"], memory
     )
@@ -443,3 +460,88 @@ def tacotron2_inference(
     mel_out_postnet = jnp.where(produced, mel_out + residual, 0.0)
 
     return mel_out, mel_out_postnet, gate_out, alignments, t_end
+
+
+def tacotron2_inference_batched(
+    cfg: Tacotron2Config,
+    params,
+    state,
+    ppg: jnp.ndarray,        # (B, n_symbols, T_in)
+    input_lengths: jnp.ndarray,
+    key,
+):
+    """Batched autoregressive decode with per-sequence gate stopping.
+
+    A production-serving extension the reference lacks (its inference is
+    strictly batch-1, model.py:597-610): every sequence carries its own
+    done flag; the device loop exits when ALL sequences have fired their
+    gate (or at max_decoder_steps); frames produced after a sequence's own
+    stop are zeroed.
+
+    Returns (mel_out, mel_out_postnet, gate_out, alignments,
+    mel_lengths (B,)).
+    """
+    B, _, T_in = ppg.shape
+    key, k_enc = jax.random.split(key)
+    memory, _ = encoder_apply(params, state, ppg, input_lengths, k_enc,
+                              training=False, mask_convs=True)
+    processed_memory = linear_apply(
+        params["decoder"]["attention"]["memory"], memory
+    )
+    p_dec = params["decoder"]
+    M = cfg.max_decoder_steps
+    D = cfg.n_acoustic_feat_dims
+
+    ds0 = init_decoder_state(cfg, B, T_in, memory.dtype)
+    mel_buf = jnp.zeros((M, B, D), memory.dtype)
+    gate_buf = jnp.full((M, B), 1e3, memory.dtype)
+    align_buf = jnp.zeros((M, B, T_in), memory.dtype)
+    done0 = jnp.zeros((B,), bool)
+    len0 = jnp.full((B,), M, jnp.int32)
+
+    def cond(loop):
+        t, done, *_ = loop
+        return (~jnp.all(done)) & (t < M)
+
+    def body(loop):
+        (t, done, lengths, ds, prev_frame, key,
+         mel_buf, gate_buf, align_buf) = loop
+        key, k_pre, k_step = jax.random.split(key, 3)
+        frame = prenet_apply(p_dec["prenet"], prev_frame, k_pre)
+        ds, mel_f, gate_f, att_w = decode_step(
+            cfg, p_dec, ds, frame, memory, processed_memory, input_lengths,
+            t, k_step, training=False,
+        )
+        active = ~done
+        mel_buf = mel_buf.at[t].set(
+            jnp.where(active[:, None], mel_f, 0.0)
+        )
+        gate_buf = gate_buf.at[t].set(jnp.where(active, gate_f, 1e3))
+        align_buf = align_buf.at[t].set(
+            jnp.where(active[:, None], att_w, 0.0)
+        )
+        fired = jax.nn.sigmoid(gate_f) > cfg.gate_threshold
+        newly_done = active & fired
+        lengths = jnp.where(newly_done, t + 1, lengths)
+        done = done | fired
+        return (t + 1, done, lengths, ds, mel_f, key, mel_buf, gate_buf,
+                align_buf)
+
+    init = (jnp.int32(0), done0, len0, ds0,
+            jnp.zeros((B, D), memory.dtype), key, mel_buf, gate_buf,
+            align_buf)
+    t_end, done, lengths, _, _, _, mel_buf, gate_buf, align_buf = (
+        jax.lax.while_loop(cond, body, init)
+    )
+    lengths = jnp.where(done, lengths, t_end)
+
+    mel_out = mel_buf.transpose(1, 2, 0)
+    gate_out = gate_buf.transpose(1, 0)
+    alignments = align_buf.transpose(1, 0, 2)
+
+    produced = (jnp.arange(M)[None, None, :] < lengths[:, None, None])
+    residual, _ = postnet_apply(params, state, mel_out, key, training=False,
+                                valid_mask=produced)
+    mel_out_postnet = jnp.where(produced, mel_out + residual, 0.0)
+
+    return mel_out, mel_out_postnet, gate_out, alignments, lengths

@@ -131,6 +131,11 @@ def train(output_directory, log_directory, checkpoint_path, warm_start,
 
     iteration = 0
     epoch_offset = 0
+    if checkpoint_path == "auto":
+        # crash recovery: resume from the newest checkpoint in the run dir
+        checkpoint_path = ckpt.find_latest_checkpoint(output_directory)
+        if checkpoint_path:
+            print("Auto-resume from", checkpoint_path)
     if checkpoint_path:
         if warm_start:
             print("Warm starting model from checkpoint '%s'" % checkpoint_path)

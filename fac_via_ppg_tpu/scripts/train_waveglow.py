@@ -54,6 +54,12 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
     step = make_waveglow_train_step(cfg, optimizer, sigma=sigma)
 
     iteration = 0
+    if checkpoint_path == "auto":
+        checkpoint_path = ckpt.find_latest_checkpoint(
+            output_directory, prefix="waveglow_"
+        )
+        if checkpoint_path:
+            print("Auto-resume from", checkpoint_path)
     if checkpoint_path:
         restored = ckpt.load_checkpoint(
             checkpoint_path, like={"params": params, "opt_state": opt_state}

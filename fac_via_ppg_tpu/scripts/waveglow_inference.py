@@ -30,7 +30,7 @@ from fac_via_ppg_tpu.utils.inference import load_waveglow_model
 
 
 def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
-         batch_size=1, sampling_rate=16000):
+         batch_size=1, sampling_rate=16000, data_parallel=False):
     cfg = WaveGlowConfig()
     params = load_waveglow_model(waveglow_path, cfg)
     denoiser = Denoiser(cfg, params) if denoiser_strength > 0 else None
@@ -48,12 +48,33 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
     infer = jax.jit(
         lambda p, m, k: waveglow_infer(cfg, p, m, sigma, k)
     )
+    mesh = None
+    if data_parallel and jax.device_count() > 1:
+        # serving fan-out: shard the batch over the chip mesh; params
+        # replicate; no code change to the model — GSPMD partitions it.
+        from fac_via_ppg_tpu.parallel.mesh import (
+            batch_sharding, make_mesh, replicate,
+        )
+
+        mesh = make_mesh(model=1)
+        params = replicate(mesh, params)
+        batch_size = max(batch_size, mesh.shape["data"])
+        print(f"data-parallel vocoder over {mesh.shape['data']} devices")
+
     for length, group in by_len.items():
         for i in range(0, len(group), batch_size):
             chunk = group[i : i + batch_size]
             mel_batch = np.stack([m for _, m in chunk]).astype(np.float32)
+            if mesh is not None:
+                n = mesh.shape["data"]
+                pad = (-len(chunk)) % n
+                if pad:
+                    mel_batch = np.concatenate(
+                        [mel_batch, np.repeat(mel_batch[-1:], pad, 0)]
+                    )
+                mel_batch = jax.device_put(mel_batch, batch_sharding(mesh))
             key, sub = jax.random.split(key)
-            audio = infer(params, mel_batch, sub)
+            audio = infer(params, mel_batch, sub)[: len(chunk)]
             if denoiser is not None:
                 audio = denoiser(audio, strength=denoiser_strength)[:, 0, :]
             audio = np.asarray(audio * MAX_WAV_VALUE).astype(np.int16)
@@ -76,6 +97,9 @@ if __name__ == "__main__":
                         help="Removes model bias. Start with 0.1 and adjust")
     parser.add_argument("-b", "--batch_size", default=1, type=int)
     parser.add_argument("--sampling_rate", default=16000, type=int)
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard batches over all devices in the mesh")
     args = parser.parse_args()
     main(args.filelist_path, args.waveglow_path, args.output_dir, args.sigma,
-         args.denoiser_strength, args.batch_size, args.sampling_rate)
+         args.denoiser_strength, args.batch_size, args.sampling_rate,
+         args.data_parallel)

@@ -106,3 +106,25 @@ def load_checkpoint(path: str, like: Optional[Dict[str, Any]] = None,
 def warm_start(path: str):
     """Weights-only restore (reference warm_start_model)."""
     return load_checkpoint(path)["params"]
+
+
+def find_latest_checkpoint(output_directory: str,
+                           prefix: str = "checkpoint_") -> Optional[str]:
+    """Highest-iteration checkpoint under a run directory, or None.
+
+    Enables `checkpoint_path='auto'` crash recovery: the reference requires
+    a manually-specified resume path (train_ppg2mel.py:217), so an
+    interrupted job restarts from scratch unless babysat.
+    """
+    import re
+
+    if not os.path.isdir(output_directory):
+        return None
+    best_iter, best_path = -1, None
+    for name in os.listdir(output_directory):
+        m = re.fullmatch(re.escape(prefix) + r"(\d+)", name)
+        if m:
+            path = os.path.join(output_directory, name)
+            if os.path.isdir(path) and int(m.group(1)) > best_iter:
+                best_iter, best_path = int(m.group(1)), path
+    return best_path

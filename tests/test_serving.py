@@ -1,0 +1,116 @@
+"""Serving-path tests: batched autoregressive inference, shape-bucketed
+get_inference, auto-resume checkpoint discovery, decode-module surface."""
+
+import functools
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fac_via_ppg_tpu.configs.hparams import Tacotron2Config
+from fac_via_ppg_tpu.models.tacotron2 import (
+    init_tacotron2,
+    tacotron2_inference,
+    tacotron2_inference_batched,
+)
+from fac_via_ppg_tpu.train import checkpoint as ckpt
+
+CFG = Tacotron2Config(
+    n_symbols=32, symbols_embedding_dim=32, encoder_embedding_dim=32,
+    decoder_rnn_dim=24, prenet_dim=16, attention_rnn_dim=24,
+    attention_dim=12, attention_location_n_filters=4,
+    attention_location_kernel_size=7, postnet_embedding_dim=24,
+    max_decoder_steps=40,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return jax.jit(functools.partial(init_tacotron2, cfg=CFG))(
+        jax.random.PRNGKey(0)
+    )
+
+
+def test_batched_inference_per_sequence_stop(model, rng):
+    params, state = model
+    B, T_in = 3, 16
+    ppg = jnp.asarray(np.abs(rng.rand(B, CFG.n_symbols, T_in)), jnp.float32)
+    lengths = jnp.asarray([16, 12, 8], jnp.int32)
+    mel, mel_post, gate, align, mel_lens = jax.jit(
+        functools.partial(tacotron2_inference_batched, CFG)
+    )(params, state, ppg, lengths, jax.random.PRNGKey(1))
+    mel_lens = np.asarray(mel_lens)
+    assert mel.shape == (B, 80, CFG.max_decoder_steps)
+    assert ((mel_lens >= 1) & (mel_lens <= CFG.max_decoder_steps)).all()
+    # frames beyond each sequence's own length are zeroed
+    for b in range(B):
+        if mel_lens[b] < CFG.max_decoder_steps:
+            assert float(np.abs(np.asarray(mel_post)[b, :, mel_lens[b]:]).max()) == 0.0
+            np.testing.assert_allclose(
+                np.asarray(gate)[b, mel_lens[b]:], 1e3
+            )
+
+
+def test_bucketed_inference_matches_unpadded(model, rng):
+    """Zero-padding the PPG with true input_lengths must reproduce the
+    unpadded decode exactly.
+
+    Prenet dropout masks depend on tensor shape, so the always-on dropout
+    is disabled for this determinism check (it injects intended randomness
+    either way; what must NOT change with padding is the deterministic
+    computation)."""
+    from fac_via_ppg_tpu.models import tacotron2 as t2
+
+    params, state = model
+    T_in = 12
+    ppg = jnp.asarray(np.abs(rng.rand(1, CFG.n_symbols, T_in)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    orig = t2.dropout
+    t2.__dict__["dropout"] = lambda key, x, rate, enabled: x
+    try:
+        inf = jax.jit(functools.partial(tacotron2_inference, CFG))
+        out_ref = inf(params, state, ppg, key, jnp.asarray([T_in], jnp.int32))
+        ppg_pad = jnp.pad(ppg, ((0, 0), (0, 0), (0, 20)))
+        out_pad = inf(params, state, ppg_pad, key,
+                      jnp.asarray([T_in], jnp.int32))
+    finally:
+        t2.__dict__["dropout"] = orig
+
+    t_ref, t_pad = int(out_ref[4]), int(out_pad[4])
+    assert t_ref == t_pad
+    np.testing.assert_allclose(
+        np.asarray(out_pad[1][:, :, :t_ref]),
+        np.asarray(out_ref[1][:, :, :t_ref]),
+        atol=2e-5,
+    )
+
+
+def test_find_latest_checkpoint(tmp_path):
+    out = str(tmp_path)
+    assert ckpt.find_latest_checkpoint(out) is None
+    for it in (0, 5, 40, 9):
+        os.makedirs(os.path.join(out, f"checkpoint_{it}"))
+    os.makedirs(os.path.join(out, "log"))  # non-checkpoint dirs ignored
+    latest = ckpt.find_latest_checkpoint(out)
+    assert latest.endswith("checkpoint_40")
+    assert ckpt.find_latest_checkpoint(out, prefix="waveglow_") is None
+
+
+def test_decode_module_surface(tmp_path):
+    from fac_via_ppg_tpu.frontend import decode, nnet3
+
+    net = nnet3.make_random_tdnn(input_dim=40, output_dim=12, hidden_dim=8,
+                                 num_layers=1, seed=0)
+    path = str(tmp_path / "am.txt")
+    nnet3.write_nnet3_text(net, path)
+    loaded = decode.read_nnet3_model(path)
+    # input dim 40 (reference test_decode.py:28)
+    assert loaded.input_dim == 40
+    with pytest.raises(NotImplementedError):
+        decode.read_trans_model("x")
+    with pytest.raises(NotImplementedError):
+        decode.read_den_fst("x")
