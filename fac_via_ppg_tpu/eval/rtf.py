@@ -110,10 +110,74 @@ def tacotron2_decoder_throughput(batch: int = 8, t_in: int = 500,
     }
 
 
+def train_step_times(warmup: int = 2, iters: int = 5) -> dict:
+    """Per-iteration times of the two training steps at the reference
+    operating points (BASELINE configs 3 and 4)."""
+    from fac_via_ppg_tpu.configs.hparams import (
+        Tacotron2Config,
+        WaveGlowConfig,
+    )
+    from fac_via_ppg_tpu.models.tacotron2 import init_tacotron2
+    from fac_via_ppg_tpu.models.waveglow import init_waveglow
+    from fac_via_ppg_tpu.train.optim import make_optimizer
+    from fac_via_ppg_tpu.train.step import (
+        make_tacotron2_train_step,
+        make_waveglow_train_step,
+    )
+
+    rng = np.random.RandomState(0)
+    out = {}
+
+    # PPG2Mel: batch 6 (hparams.py:144), ~4 s utterances (400 frames).
+    cfg = Tacotron2Config()
+    params, state = init_tacotron2(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-4, 1e-6, 1.0)
+    opt_state = opt.init(params)
+    step = make_tacotron2_train_step(cfg, opt, donate=False)
+    B, T_in, T_out = 6, 400, 400
+    batch = (
+        jnp.asarray(np.abs(rng.rand(B, cfg.n_symbols, T_in)), jnp.float32),
+        jnp.full((B,), T_in, jnp.int32),
+        jnp.asarray(rng.randn(B, 80, T_out) * 0.1, jnp.float32),
+        jnp.zeros((B, T_out), jnp.float32),
+        jnp.full((B,), T_out, jnp.int32),
+    )
+    for i in range(warmup):
+        float(step(params, state, opt_state, batch,
+                   jax.random.PRNGKey(i)).loss)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        float(step(params, state, opt_state, batch,
+                   jax.random.PRNGKey(i)).loss)
+    out["ppg2mel_s_per_iter"] = (time.perf_counter() - t0) / iters
+
+    # WaveGlow: batch 3, segment 10000 (config.json:8,14).
+    wg_cfg = WaveGlowConfig()
+    wg_params = init_waveglow(jax.random.PRNGKey(0), wg_cfg)
+    wg_opt = make_optimizer(1e-5)
+    wg_opt_state = wg_opt.init(wg_params)
+    wg_step = make_waveglow_train_step(wg_cfg, wg_opt, sigma=0.7071,
+                                       donate=False)
+    seg = 10000
+    frames = (seg + wg_cfg.hop_length // 2) // wg_cfg.hop_length
+    wg_batch = (
+        jnp.asarray(rng.randn(3, 80, frames) * 0.5 - 5.0, jnp.float32),
+        jnp.asarray(rng.randn(3, seg) * 0.1, jnp.float32),
+    )
+    for _ in range(warmup):
+        float(wg_step(wg_params, wg_opt_state, wg_batch).loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(wg_step(wg_params, wg_opt_state, wg_batch).loss)
+    out["waveglow_s_per_iter"] = (time.perf_counter() - t0) / iters
+    return out
+
+
 if __name__ == "__main__":
     import json
 
     print(json.dumps({
         "waveglow": waveglow_rtf(),
         "tacotron2_decoder": tacotron2_decoder_throughput(),
+        "train_steps": train_step_times(),
     }, indent=2))
