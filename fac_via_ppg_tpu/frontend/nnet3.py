@@ -221,6 +221,35 @@ def apply_component(comp: Component, x: jnp.ndarray) -> jnp.ndarray:
         return x * jnp.asarray(np.ravel(a["Scales"]))[None, :]
     if kind == "FixedBiasComponent":
         return x + jnp.asarray(np.ravel(a["Bias"]))[None, :]
+    if kind == "TdnnComponent":
+        # Factorized-TDNN building block (TDNN-F models): internal time
+        # offsets + affine.  x[t] -> concat_j x[t + off_j] @ W + b, offsets
+        # clamped at utterance edges like every other context access.
+        offsets = [int(v) for v in np.ravel(a["TimeOffsets"])]
+        T = x.shape[0]
+        idx = lambda off: jnp.clip(jnp.arange(T) + off, 0, T - 1)
+        x_cat = jnp.concatenate([x[idx(off)] for off in offsets], axis=-1)
+        w = np.asarray(a["LinearParams"])
+        if w.ndim == 1:  # flat from the text parser: (out, in) inferred here
+            w = w.reshape(-1, x_cat.shape[-1])
+        out = x_cat @ jnp.asarray(w).T
+        if "BiasParams" in a and np.size(a["BiasParams"]):
+            out = out + jnp.asarray(np.ravel(a["BiasParams"]))[None, :]
+        return out
+    if kind == "SumGroupComponent":
+        # sums fixed-size groups of inputs (used by some softmax stacks)
+        sizes = [int(v) for v in np.ravel(a["Sizes"])]
+        splits = np.cumsum(sizes)[:-1]
+        parts = jnp.split(x, splits, axis=-1)
+        return jnp.stack([p.sum(axis=-1) for p in parts], axis=-1)
+    if kind == "ScaleAndOffsetComponent":
+        out = x * jnp.asarray(np.ravel(a["Scales"]))[None, :]
+        return out + jnp.asarray(np.ravel(a["Offsets"]))[None, :]
+    if kind == "PermuteComponent":
+        perm = np.ravel(a["ColumnMap"]).astype(int)
+        return x[:, perm]
+    if kind == "ClipGradientComponent":
+        return x  # training-time only; identity at inference
     raise ValueError(f"Unsupported component kind {kind!r}")
 
 
