@@ -118,11 +118,11 @@ _DEFAULTS: Dict[str, Any] = {
 # TPU-native extension keys (absent from the reference; additive so that all
 # reference configs remain valid).
 _TPU_EXTENSIONS: Dict[str, Any] = {
-    # Dtype used inside the jitted step for matmul-heavy compute.  Params and
-    # optimizer state stay float32; this replaces the reference fp16
-    # machinery (fp16_optimizer.py / loss_scaler.py), which is dead weight on
-    # TPU because bfloat16 shares float32's exponent range.
-    "compute_dtype": "bfloat16",
+    # Serving compute dtype (WaveGlow inference flows run in this dtype
+    # with fp32 accumulation; see models/waveglow.waveglow_infer).  Training
+    # is float32; the reference fp16 machinery (fp16_optimizer.py /
+    # loss_scaler.py) is replaced by train/precision.py if ever needed.
+    "compute_dtype": "float32",
     # Number of devices along the data axis of the jax mesh ("" = all).
     "data_parallel_devices": "",
     # Pad batches to length buckets of this granularity to bound the number
@@ -254,7 +254,7 @@ class Tacotron2Config:
     postnet_kernel_size: int = 5
     postnet_n_convolutions: int = 5
     mask_padding: bool = True
-    compute_dtype: str = "bfloat16"
+    compute_dtype: str = "float32"
 
     @classmethod
     def from_hparams(cls, hp) -> "Tacotron2Config":
@@ -281,7 +281,7 @@ class Tacotron2Config:
             postnet_kernel_size=hp.postnet_kernel_size,
             postnet_n_convolutions=hp.postnet_n_convolutions,
             mask_padding=hp.mask_padding,
-            compute_dtype=getattr(hp, "compute_dtype", "bfloat16"),
+            compute_dtype=getattr(hp, "compute_dtype", "float32"),
         )
 
 
@@ -299,7 +299,7 @@ class WaveGlowConfig:
     wn_n_channels: int = 256
     wn_kernel_size: int = 3
     upsample_kernel_size: int = 1024
-    compute_dtype: str = "bfloat16"
+    compute_dtype: str = "float32"
 
     @classmethod
     def from_dict(cls, waveglow_config: Dict[str, Any]) -> "WaveGlowConfig":
