@@ -4,10 +4,11 @@ Mirrors the reference public surface (`src/common/hparams.py:40-241` in
 guanlongzhao/fac-via-ppg): same keys, same defaults, same unknown-key
 rejection, same frozen Interspeech'19 "stage" variant.  A handful of keys are
 CUDA-era knobs (`cudnn_enabled`, `fp16_run`, `dist_backend`, `dist_url`);
-they are accepted for config-file compatibility but are inert on TPU — their
-TPU-native replacements are `compute_dtype` (bf16 mixed precision instead of
-fp16 loss-scaling) and `mesh_shape` (jax.sharding data-parallel mesh instead
-of an NCCL process group).
+they are accepted for config-file compatibility but are inert on TPU.
+Training always runs float32 (bf16 shares float32's exponent range, so the
+reference's fp16 loss-scaling machinery has no TPU counterpart to need);
+the additive `compute_dtype` key selects the SERVING dtype for WaveGlow
+synthesis (float32 | bfloat16), consumed by the synthesis CLIs.
 """
 
 from __future__ import annotations
@@ -254,7 +255,6 @@ class Tacotron2Config:
     postnet_kernel_size: int = 5
     postnet_n_convolutions: int = 5
     mask_padding: bool = True
-    compute_dtype: str = "float32"
 
     @classmethod
     def from_hparams(cls, hp) -> "Tacotron2Config":
@@ -281,7 +281,6 @@ class Tacotron2Config:
             postnet_kernel_size=hp.postnet_kernel_size,
             postnet_n_convolutions=hp.postnet_n_convolutions,
             mask_padding=hp.mask_padding,
-            compute_dtype=getattr(hp, "compute_dtype", "float32"),
         )
 
 
@@ -299,7 +298,6 @@ class WaveGlowConfig:
     wn_n_channels: int = 256
     wn_kernel_size: int = 3
     upsample_kernel_size: int = 1024
-    compute_dtype: str = "float32"
 
     @classmethod
     def from_dict(cls, waveglow_config: Dict[str, Any]) -> "WaveGlowConfig":

@@ -56,7 +56,7 @@ class StreamingAccentConverter:
                  tacotron_state, wg_cfg: WaveGlowConfig, waveglow_params,
                  deps: Optional[ppg_mod.DependenciesPPG] = None,
                  sigma: float = 0.6, denoiser_strength: float = 0.005,
-                 queue_depth: int = 4):
+                 queue_depth: int = 4, serving_dtype=None):
         self.t2_cfg = t2_cfg
         self.tacotron_params = tacotron_params
         self.tacotron_state = tacotron_state
@@ -70,6 +70,7 @@ class StreamingAccentConverter:
         )
         self.denoiser_strength = denoiser_strength
         self.queue_depth = queue_depth
+        self.serving_dtype = serving_dtype
 
     def run(self, wav_paths, key=None):
         """Yields StreamResult per utterance, with stage overlap."""
@@ -115,7 +116,8 @@ class StreamingAccentConverter:
                 constant_values=float(np.log(1e-5)),
             )
             audio = waveglow_audio(
-                mel, self.wg_cfg, self.waveglow_params, self.sigma, k_wg
+                mel, self.wg_cfg, self.waveglow_params, self.sigma, k_wg,
+                dtype=self.serving_dtype,
             )
             if self.denoiser is not None:
                 audio = self.denoiser(
@@ -141,6 +143,9 @@ def main():
     parser.add_argument("--output_dir", required=True)
     parser.add_argument("--sigma", type=float, default=0.6)
     parser.add_argument("--denoiser_strength", type=float, default=0.005)
+    parser.add_argument("--compute_dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="WaveGlow serving dtype (bf16: ~1.5x faster)")
     args = parser.parse_args()
 
     hparams = create_hparams_stage()
@@ -153,9 +158,13 @@ def main():
         wavs = [line.strip() for line in f if line.strip()]
     os.makedirs(args.output_dir, exist_ok=True)
 
+    import jax.numpy as jnp
+
     converter = StreamingAccentConverter(
         t2_cfg, t2_params, t2_state, wg_cfg, wg_params,
         sigma=args.sigma, denoiser_strength=args.denoiser_strength,
+        serving_dtype=(None if args.compute_dtype == "float32"
+                       else jnp.dtype(args.compute_dtype)),
     )
     total_audio = total_wall = 0.0
     steady_audio = steady_wall = 0.0

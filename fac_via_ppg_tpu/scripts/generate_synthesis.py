@@ -18,6 +18,7 @@ import logging
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from scipy.io import wavfile
 
@@ -104,8 +105,13 @@ def main():
             teacher_ppg, t2_cfg, tacotron_params, tacotron_state, k_mel,
             is_clip,
         )
+        serving_dtype = (
+            None if hparams.compute_dtype == "float32"
+            else jnp.dtype(hparams.compute_dtype)
+        )
         ac_wav = waveglow_audio(
-            ac_mel, wg_cfg, waveglow_params, waveglow_sigma, k_wg
+            ac_mel, wg_cfg, waveglow_params, waveglow_sigma, k_wg,
+            dtype=serving_dtype,
         )
         ac_wav = np.asarray(
             denoiser(ac_wav, strength=denoiser_strength)

@@ -9,8 +9,9 @@ way fp16 gradients do, and params/optimizer state stay float32 regardless.
 
 What replaces it here:
 
-  * `Policy`: cast-to-compute / keep-params-fp32 dtype policy applied
-    around the jitted step (the `compute_dtype` hparam).
+  * `Policy`: cast-to-compute / keep-params-fp32 dtype policy for
+    experiments on fp16-class hardware (training here is float32; the
+    `compute_dtype` hparam selects the WaveGlow SERVING dtype).
   * `DynamicLossScaler`: a faithful functional port of the reference
     semantics (init scale 2**32, x2 after `scale_window` clean steps, /2 on
     non-finite grads, skip the step on overflow) for running this framework
