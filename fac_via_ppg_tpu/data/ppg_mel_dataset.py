@@ -152,10 +152,11 @@ class PPGMelDataset:
         mel = mel[0].T  # (T, n_mel)
 
         if not is_full_ppg:
-            raise NotImplementedError(
-                "Monophone-PPG training requires reduce_ppg_dim here; use "
-                "is_full_ppg=True (the reference default)."
-            )
+            # monophone training: 40-dim senone->phone reduction
+            # (reference data_utils.py:253-258 via utt.monophone_ppg)
+            from fac_via_ppg_tpu.frontend.ppg import reduce_ppg_dim
+
+            ppg = reduce_ppg_dim(ppg, self.ppg_deps.monophone_trans)
         if self.is_append_f0:
             from fac_via_ppg_tpu.utils.pitch import estimate_f0
 
