@@ -30,6 +30,7 @@ import numpy as np
 from fac_via_ppg_tpu.dsp.stft import TacotronSTFT
 from fac_via_ppg_tpu.frontend import feat as feat_mod
 from fac_via_ppg_tpu.frontend.ppg import DependenciesPPG, get_ppg
+from fac_via_ppg_tpu.utils.numeric import round_up as _round_up
 
 import jax.numpy as jnp
 
@@ -174,12 +175,6 @@ class PPGMelDataset:
 
     def __len__(self):
         return len(self.ppg_sequences)
-
-
-def _round_up(n: int, multiple: int) -> int:
-    if multiple <= 1:
-        return n
-    return ((n + multiple - 1) // multiple) * multiple
 
 
 def ppg_acoustics_collate(batch, pad_to: int = 1):

@@ -32,25 +32,41 @@ class PrefetchIterator:
     def __iter__(self) -> Iterator:
         q: queue.Queue = queue.Queue(maxsize=self._depth)
         error = []
+        abandoned = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put so an abandoned consumer (exception mid-epoch)
+            # cannot leave the worker blocked forever holding device batches
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in self._iterable:
-                    q.put(self._place(item))
+                    if not put(self._place(item)):
+                        return
             except BaseException as e:  # surface worker errors to consumer
                 error.append(e)
             finally:
-                q.put(self._SENTINEL)
+                put(self._SENTINEL)
 
         thread = threading.Thread(target=worker, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is self._SENTINEL:
-                if error:
-                    raise error[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is self._SENTINEL:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+        finally:
+            abandoned.set()
 
 
 def prefetch(iterable: Iterable, place: Optional[Callable] = None,

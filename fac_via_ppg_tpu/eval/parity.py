@@ -113,9 +113,13 @@ def run_parity(checkpoint: str, filelist: str,
 def _torch_oracle_mel(checkpoint: str, hparams, ppg: np.ndarray,
                       mel: np.ndarray) -> np.ndarray:
     """Teacher-forced mel from the reference torch model (CPU)."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo/tests")
+    tests_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", "tests"
+    )
+    sys.path.insert(0, os.path.abspath(tests_dir))
     from torch_oracle import (  # noqa: E402
         load_reference_module,
         no_dropout,

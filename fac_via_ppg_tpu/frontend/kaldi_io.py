@@ -227,17 +227,11 @@ def write_sparse_matrix(path: str, mat: np.ndarray):
 # --------------------------------------------------------------------------
 
 def read_sym_table(path: str) -> dict:
-    """Kaldi-style 'symbol index' table (reference utterance.py:283-304)."""
-    table = {}
-    with open(path) as f:
-        for line in f:
-            if not line.strip():
-                continue
-            key, val = line.split()
-            if key in table:
-                raise ValueError("Duplicated key: %s" % key)
-            table[key] = int(val)
-    return table
+    """Kaldi-style 'symbol index' table — canonical implementation lives in
+    io/utterance.py (imported lazily: io composes on top of frontend)."""
+    from fac_via_ppg_tpu.io.utterance import read_sym_table as _impl
+
+    return _impl(path)
 
 
 def parse_config(path: str) -> dict:

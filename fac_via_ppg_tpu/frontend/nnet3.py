@@ -164,7 +164,12 @@ def apply_component(comp: Component, x: jnp.ndarray) -> jnp.ndarray:
             out = out + jnp.asarray(a["BiasParams"])[None, :]
         return out
     if kind == "LinearComponent":
-        return x @ jnp.asarray(a["Params"]).T
+        # Kaldi writes only <Params>; with the text parser the matrix may
+        # arrive flat — the input dim is known here, so reshape lazily.
+        w = np.asarray(a["Params"])
+        if w.ndim == 1:
+            w = w.reshape(-1, x.shape[-1])
+        return x @ jnp.asarray(w).T
     if kind == "RectifiedLinearComponent":
         return jnp.maximum(x, 0.0)
     if kind == "SigmoidComponent":
@@ -186,13 +191,11 @@ def apply_component(comp: Component, x: jnp.ndarray) -> jnp.ndarray:
         block = int(a.get("BlockDim", dim))
         eps = float(a.get("Epsilon", 1e-3))
         rms = float(a.get("TargetRms", 1.0))
-        count = float(np.ravel(a["Count"])[0]) if "Count" in a else 1.0
-        mean = jnp.asarray(np.ravel(a["StatsMean"])) / 1.0
+        # Kaldi's BatchNormComponent::Write normalizes at write time:
+        # <StatsMean>/<StatsVar> are the mean and centered variance, NOT
+        # accumulated sums, regardless of <Count>.
+        mean = jnp.asarray(np.ravel(a["StatsMean"]))
         var = jnp.asarray(np.ravel(a["StatsVar"]))
-        # Kaldi stores accumulated sums when not in test mode; normalize if so.
-        if count > 1.5:
-            mean = mean / count
-            var = var / count - mean**2
         scale = rms * jax.lax.rsqrt(var + eps)
         if block != dim:
             shape = x.shape
@@ -586,8 +589,8 @@ def _fix_matrix_shapes(net: Nnet3):
             out_dim = int(comp.attrs.get("OutputDim", 0))
             if out_dim:
                 comp.attrs["Params"] = flat.reshape(out_dim, -1)
-            else:
-                raise ValueError("LinearComponent without OutputDim.")
+            # else: Kaldi never writes <OutputDim>; apply_component reshapes
+            # lazily from the input dim at forward time.
 
 
 # ==========================================================================

@@ -40,7 +40,13 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_LIB_PATH):
+        src_path = os.path.join(_NATIVE_DIR, "src", "frontend.cc")
+        stale = (
+            not os.path.exists(_LIB_PATH)
+            or (os.path.exists(src_path)
+                and os.path.getmtime(src_path) > os.path.getmtime(_LIB_PATH))
+        )
+        if stale:
             try:
                 subprocess.run(
                     ["make", "-C", _NATIVE_DIR],
@@ -49,8 +55,9 @@ def _load() -> Optional[ctypes.CDLL]:
                     timeout=300,
                 )
             except (subprocess.SubprocessError, OSError):
-                _build_failed = True
-                return None
+                if not os.path.exists(_LIB_PATH):
+                    _build_failed = True
+                    return None  # no toolchain and no binary
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
@@ -98,13 +105,31 @@ def _fptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
+def supports(opts) -> bool:
+    """Whether the native path implements this exact option combination.
+
+    The C++ library covers the production envelope; exotic options fall
+    back to numpy rather than silently computing something different.
+    """
+    fo = opts.frame_opts
+    return (
+        fo.window_type in _WINDOW_TYPES
+        and fo.round_to_power_of_two
+        and (not opts.use_energy or (opts.raw_energy
+                                     and opts.energy_floor == 0.0))
+    )
+
+
 def mfcc_compute(wav: np.ndarray, fs: float, opts, seed: int = 0
                  ) -> Optional[np.ndarray]:
-    """Native MFCC matching frontend.mfcc.compute_mfcc; None if unavailable.
+    """Native MFCC matching frontend.mfcc.compute_mfcc; None if unavailable
+    or the options fall outside the supported envelope (see `supports`).
 
     `opts` is a frontend.mfcc.MfccOptions; resampling (allow_downsample) is
     handled by the caller.
     """
+    if not supports(opts):
+        return None
     lib = _load()
     if lib is None:
         return None
@@ -121,7 +146,7 @@ def mfcc_compute(wav: np.ndarray, fs: float, opts, seed: int = 0
         wav.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(wav),
         fo.samp_freq, fo.frame_shift_ms, fo.frame_length_ms, fo.dither,
         fo.preemph_coeff, int(fo.remove_dc_offset),
-        _WINDOW_TYPES.get(fo.window_type, 0), int(fo.snip_edges),
+        _WINDOW_TYPES[fo.window_type], int(fo.snip_edges),
         opts.mel_opts.num_bins, opts.mel_opts.low_freq,
         opts.mel_opts.high_freq, opts.num_ceps, int(opts.use_energy),
         opts.cepstral_lifter, seed, _fptr(out),

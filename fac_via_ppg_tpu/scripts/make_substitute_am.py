@@ -33,45 +33,61 @@ ARPABET = [
 
 
 def make_bundle(out_dir: str, n_senones: int = 5816, n_phones: int = 40,
-                hidden_dim: int = 256, num_layers: int = 3, seed: int = 16807):
+                hidden_dim: int = 256, num_layers: int = 3, seed: int = 16807,
+                overwrite: bool = True):
+    """Write the substitute bundle.  With overwrite=False only MISSING files
+    are generated — the lazy DependenciesPPG path uses this so it can never
+    clobber artifacts a user has replaced with real ones."""
     rng = np.random.RandomState(seed)
     os.makedirs(os.path.join(out_dir, "am"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "feats"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "filelists"), exist_ok=True)
 
-    net = nnet3.make_random_tdnn(
-        input_dim=40, output_dim=n_senones, hidden_dim=hidden_dim,
-        num_layers=num_layers, seed=seed,
-    )
-    nnet3.write_nnet3_text(net, os.path.join(out_dir, "am", "final.raw.txt"))
+    def want(*parts):
+        path = os.path.join(out_dir, *parts)
+        return path if overwrite or not os.path.exists(path) else None
+
+    path = want("am", "final.raw.txt")
+    if path:
+        net = nnet3.make_random_tdnn(
+            input_dim=40, output_dim=n_senones, hidden_dim=hidden_dim,
+            num_layers=num_layers, seed=seed,
+        )
+        nnet3.write_nnet3_text(net, path)
 
     # LDA-like 40x91 projection: orthonormal rows over the 91-dim spliced
     # MFCC space (13 ceps x 7 context frames), like the real final.mat.
-    q, _ = np.linalg.qr(rng.randn(91, 40))
-    kaldi_io.write_matrix(
-        os.path.join(out_dir, "feats", "final.mat"),
-        q.T.astype(np.float32),
-    )
+    path = want("feats", "final.mat")
+    if path:
+        q, _ = np.linalg.qr(rng.randn(91, 40))
+        kaldi_io.write_matrix(path, q.T.astype(np.float32))
 
     # Senone->monophone map: every senone assigned to exactly one phone.
-    assign = rng.randint(0, n_phones, size=n_senones)
-    assign[:n_phones] = np.arange(n_phones)  # ensure every phone non-empty
-    reduce_dim = np.zeros((n_phones, n_senones), dtype=np.float32)
-    reduce_dim[assign, np.arange(n_senones)] = 1.0
-    kaldi_io.write_sparse_matrix(
-        os.path.join(out_dir, "feats", "reduce_dim.mat"), reduce_dim
-    )
+    path = want("feats", "reduce_dim.mat")
+    if path:
+        assign = rng.randint(0, n_phones, size=n_senones)
+        assign[:n_phones] = np.arange(n_phones)  # every phone non-empty
+        reduce_dim = np.zeros((n_phones, n_senones), dtype=np.float32)
+        reduce_dim[assign, np.arange(n_senones)] = 1.0
+        kaldi_io.write_sparse_matrix(path, reduce_dim)
 
-    with open(os.path.join(out_dir, "feats", "splice_opts"), "w") as f:
-        f.write("--left-context=3 --right-context=3")
+    path = want("feats", "splice_opts")
+    if path:
+        with open(path, "w") as f:
+            f.write("--left-context=3 --right-context=3")
 
-    with open(os.path.join(out_dir, "arpa_phonemes"), "w") as f:
-        for i, phone in enumerate(ARPABET):
-            f.write(f"{phone}\t{i}\n")
+    path = want("arpa_phonemes")
+    if path:
+        with open(path, "w") as f:
+            for i, phone in enumerate(ARPABET):
+                f.write(f"{phone}\t{i}\n")
 
     # Position-dependent phone table (like data/am/phones.txt): eps +
     # silence variants + 4 word-position variants per non-sil phone.
-    with open(os.path.join(out_dir, "am", "phones.txt"), "w") as f:
+    path = want("am", "phones.txt")
+    if not path:
+        return
+    with open(path, "w") as f:
         idx = 0
         f.write(f"<eps> {idx}\n"); idx += 1
         for sil in ("sil", "sil_B", "sil_E", "sil_I", "sil_S"):

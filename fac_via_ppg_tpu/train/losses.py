@@ -19,6 +19,7 @@ def tacotron2_loss(
     targets,
     mel_weight: float = 1.0,
     gate_weight: float = 0.005,
+    output_lengths=None,
 ) -> jnp.ndarray:
     """MSE(mel) + MSE(mel_postnet) + w_gate * BCE(gate).
 
@@ -26,14 +27,29 @@ def tacotron2_loss(
     reference's nn.MSELoss/nn.BCEWithLogitsLoss on parse_output-masked
     tensors: padded mel positions are zero in both pred and target (0 error)
     and padded gate energies are forced to 1e3 against target 1 (~0 error).
+
+    `output_lengths` matters when batches are bucket-padded beyond the batch
+    max (TPU shape bucketing): the reference divides by B*D*max_len(batch),
+    so the denominator is computed from max(output_lengths) instead of the
+    padded tensor size — otherwise the bucket amount would scale the
+    effective learning rate batch-to-batch.  Padded positions contribute
+    exactly zero to the sums either way.
     """
     mel_target, gate_target = targets
     mel_out, mel_out_postnet, gate_out = model_output[0], model_output[1], \
         model_output[2]
-    mel_loss = jnp.mean((mel_out - mel_target) ** 2) + jnp.mean(
-        (mel_out_postnet - mel_target) ** 2
-    )
-    gate_loss = jnp.mean(bce_with_logits(gate_out, gate_target))
+    B, D, T_pad = mel_target.shape
+    if output_lengths is not None:
+        t_ref = jnp.maximum(jnp.max(output_lengths), 1)
+    else:
+        t_ref = T_pad
+    mel_denom = B * D * t_ref
+    gate_denom = B * t_ref
+    mel_loss = (
+        jnp.sum((mel_out - mel_target) ** 2)
+        + jnp.sum((mel_out_postnet - mel_target) ** 2)
+    ) / mel_denom
+    gate_loss = jnp.sum(bce_with_logits(gate_out, gate_target)) / gate_denom
     return mel_weight * mel_loss + gate_weight * gate_loss
 
 

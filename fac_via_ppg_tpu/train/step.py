@@ -50,7 +50,8 @@ def make_tacotron2_train_step(cfg: Tacotron2Config, optimizer,
             cfg, params, model_state, ppg, in_len, mel, out_len, key,
             training=True,
         )
-        loss = tacotron2_loss(out, (mel, gate), mel_weight, gate_weight)
+        loss = tacotron2_loss(out, (mel, gate), mel_weight, gate_weight,
+                              output_lengths=out_len)
         return loss, new_state
 
     def step(params, model_state, opt_state, batch, key):
@@ -76,7 +77,8 @@ def make_tacotron2_eval_step(cfg: Tacotron2Config, mel_weight: float = 1.0,
             cfg, params, model_state, ppg, in_len, mel, out_len, key,
             training=False,
         )
-        loss = tacotron2_loss(out, (mel, gate), mel_weight, gate_weight)
+        loss = tacotron2_loss(out, (mel, gate), mel_weight, gate_weight,
+                              output_lengths=out_len)
         return loss, out
 
     return jax.jit(step)

@@ -20,6 +20,7 @@ from fac_via_ppg_tpu.dsp.stft import TacotronSTFT
 from fac_via_ppg_tpu.models.tacotron2 import tacotron2_inference
 from fac_via_ppg_tpu.models.waveglow import remove_weightnorm, waveglow_infer
 from fac_via_ppg_tpu.train import checkpoint as ckpt
+from fac_via_ppg_tpu.utils.numeric import round_up as _round_up
 
 
 def get_mask_from_lengths(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
@@ -57,10 +58,6 @@ def _jitted_waveglow_infer(cfg: WaveGlowConfig, sigma: float, dtype):
 @functools.lru_cache(maxsize=8)
 def _jitted_tacotron2_inference(cfg: Tacotron2Config):
     return jax.jit(functools.partial(tacotron2_inference, cfg))
-
-
-def _round_up(n: int, m: int) -> int:
-    return n if m <= 1 else ((n + m - 1) // m) * m
 
 
 def waveglow_audio(mel, cfg: WaveGlowConfig, waveglow_params, sigma: float,
