@@ -113,7 +113,8 @@ def train(output_directory, log_directory, checkpoint_path, warm_start,
     )
     opt_state = optimizer.init(params)
 
-    mesh = make_mesh(model=1)
+    n_data = getattr(hparams, "data_parallel_devices", "") or None
+    mesh = make_mesh(data=int(n_data) if n_data else None, model=1)
     params = replicate(mesh, params)
     model_state = replicate(mesh, model_state)
     opt_state = replicate(mesh, opt_state)
@@ -164,10 +165,13 @@ def train(output_directory, log_directory, checkpoint_path, warm_start,
             )
 
     from fac_via_ppg_tpu.data.prefetch import prefetch
+    from fac_via_ppg_tpu.train.profiling import trace
 
     place = lambda batch: shard_batch(  # noqa: E731
         mesh, tuple(np.asarray(x) for x in batch)
     )
+    profile_ctx = trace(getattr(hparams, "profile_dir", ""))
+    profile_ctx.__enter__()
     for epoch in range(epoch_offset, hparams.epochs):
         print("Epoch: {}".format(epoch))
         # Collation + H2D transfer of batch N+1 overlap step N on device.
@@ -217,6 +221,7 @@ def train(output_directory, log_directory, checkpoint_path, warm_start,
 
             iteration += 1
 
+    profile_ctx.__exit__(None, None, None)
     return params, model_state, opt_state, iteration
 
 

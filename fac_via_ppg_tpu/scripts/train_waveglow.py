@@ -78,6 +78,11 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
         trainset, batch_size, seed, mel2samp_collate, drop_last=True,
         shard=jax.process_index(), num_shards=jax.process_count(),
     )
+    from fac_via_ppg_tpu.data.prefetch import prefetch
+
+    place = lambda batch: shard_batch(  # noqa: E731
+        mesh, tuple(np.asarray(x) for x in batch)
+    )
 
     log_dir = os.path.join(output_directory, "log")
     logger = None
@@ -90,9 +95,9 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
     epoch_offset = max(0, int(iteration / max(len(train_loader), 1)))
     for epoch in range(epoch_offset, epochs):
         print("Epoch: {}".format(epoch))
-        for batch in train_loader:
+        # batch N+1 collation/H2D overlaps step N on device
+        for device_batch in prefetch(train_loader, place, depth=2):
             start = time.perf_counter()
-            device_batch = shard_batch(mesh, tuple(np.asarray(x) for x in batch))
             out = step(params, opt_state, device_batch)
             params, opt_state = out.params, out.opt_state
             reduced_loss = float(out.loss)
