@@ -10,8 +10,10 @@ operating point (16 kHz, 80-mel, hop 160, sigma 0.6, full 12-flow
 n_group=8 model).  vs_baseline > 1.0 beats the target.
 
 Protocol: full-size WaveGlow (untrained weights — FLOPs are identical),
-weight-norm folded as in deployment, batch x 10 s of audio per call,
-3 warmup + 10 timed iterations, block_until_ready.
+weight-norm folded as in deployment, batch 16 x 10 s of audio per call
+(the batched-vocoder serving point, BASELINE config 2; throughput
+saturates near this batch — 288/325/338x RT at batch 4/8/16), 3 warmup +
+10 timed iterations, each forcing a scalar readback.
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_waveglow_rtf(batch: int = 4, seconds: float = 10.0,
+def bench_waveglow_rtf(batch: int = 16, seconds: float = 10.0,
                        warmup: int = 3, iters: int = 10) -> dict:
     from fac_via_ppg_tpu.configs.hparams import WaveGlowConfig
     from fac_via_ppg_tpu.models.waveglow import (
