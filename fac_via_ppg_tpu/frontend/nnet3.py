@@ -553,14 +553,15 @@ def _read_bracket_array(ts: _TokenStream) -> np.ndarray:
 
 
 def load_nnet3(path: str) -> Nnet3:
-    """Load an nnet3 model file (text format)."""
+    """Load an nnet3 model file (text or binary format)."""
     with open(path, "rb") as f:
         head = f.read(2)
         if head == b"\x00B":
-            raise ValueError(
-                "Binary nnet3 models are not supported yet; convert with "
-                "'nnet3-copy --binary=false in.raw out.raw'."
+            from fac_via_ppg_tpu.frontend.nnet3_binary import (
+                read_nnet3_binary,
             )
+
+            return read_nnet3_binary(f)
     with open(path, "r") as f:
         net = parse_nnet3_text(f.read())
     _fix_matrix_shapes(net)

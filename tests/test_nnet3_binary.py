@@ -1,0 +1,75 @@
+"""Binary nnet3 format: write/read round-trip and text/binary agreement."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fac_via_ppg_tpu.frontend import nnet3
+from fac_via_ppg_tpu.frontend.nnet3_binary import write_nnet3_binary
+
+
+@pytest.fixture
+def net():
+    return nnet3.make_random_tdnn(
+        input_dim=12, output_dim=30, hidden_dim=16, num_layers=2, seed=5
+    )
+
+
+def test_binary_roundtrip_matches_text(net, tmp_path, rng):
+    text_path = str(tmp_path / "net.txt")
+    bin_path = str(tmp_path / "net.raw")
+    nnet3.write_nnet3_text(net, text_path)
+    write_nnet3_binary(net, bin_path)
+
+    # binary header present
+    with open(bin_path, "rb") as f:
+        assert f.read(2) == b"\x00B"
+
+    net_text = nnet3.load_nnet3(text_path)
+    net_bin = nnet3.load_nnet3(bin_path)
+
+    x = jnp.asarray(rng.randn(9, 12), jnp.float32)
+    out_t = np.asarray(net_text.forward(x))
+    out_b = np.asarray(net_bin.forward(x))
+    assert out_b.shape == (9, 30)
+    np.testing.assert_allclose(out_b, out_t, atol=1e-6)
+    np.testing.assert_allclose(out_b.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_binary_with_tdnn_component(tmp_path, rng):
+    """TdnnComponent (integer-vector TimeOffsets) survives the binary form."""
+    w = (rng.randn(6, 8) * 0.2).astype(np.float32)
+    b = rng.randn(6).astype(np.float32) * 0.1
+    nodes = {
+        "input": nnet3.Node("input", "input", dim=4),
+        "tdnn": nnet3.Node(
+            "component", "tdnn", component="tdnn",
+            descriptor=nnet3.parse_descriptor("input"),
+        ),
+        "output": nnet3.Node(
+            "output", "output", descriptor=nnet3.parse_descriptor("tdnn")
+        ),
+    }
+    comps = {
+        "tdnn": nnet3.Component(
+            "TdnnComponent",
+            {"TimeOffsets": np.array([-1, 0], np.int64),
+             "LinearParams": w, "BiasParams": b,
+             "OrthonormalConstraint": -1.0,
+             "UseNaturalGradient": "T"},
+        )
+    }
+    net = nnet3.Nnet3(nodes, ["input", "tdnn", "output"], comps)
+    bin_path = str(tmp_path / "tdnn.raw")
+    write_nnet3_binary(net, bin_path)
+    net2 = nnet3.load_nnet3(bin_path)
+
+    x = jnp.asarray(rng.randn(5, 4), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(net2.forward(x)), np.asarray(net.forward(x)), atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.ravel(net2.components["tdnn"].attrs["TimeOffsets"]), [-1, 0]
+    )
+    assert net2.components["tdnn"].attrs["UseNaturalGradient"] == "T"
