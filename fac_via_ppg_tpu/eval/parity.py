@@ -132,14 +132,19 @@ def _torch_oracle_mel(checkpoint: str, hparams, ppg: np.ndarray,
     payload = torch.load(checkpoint, map_location="cpu", weights_only=False)
     ref_model.load_state_dict(payload["state_dict"])
     ref_model.eval()
+    # The reference's parse_decoder_outputs crashes at batch size 1 (the
+    # per-step gate_output.squeeze() drops the batch dim, model.py:481);
+    # duplicate the utterance to batch 2 and keep the first output.
+    ppg2 = np.repeat(ppg.T[None], 2, axis=0)
+    mel2 = np.repeat(mel[None], 2, axis=0)
     with no_dropout(), torch.no_grad():
         outputs = ref_model(
             (
-                torch.tensor(ppg.T[None]).float(),
-                torch.tensor([ppg.shape[0]]),
-                torch.tensor(mel[None]).float(),
+                torch.tensor(ppg2).float(),
+                torch.tensor([ppg.shape[0]] * 2),
+                torch.tensor(mel2).float(),
                 ppg.shape[0],
-                torch.tensor([mel.shape[1]]),
+                torch.tensor([mel.shape[1]] * 2),
             )
         )
     return outputs[1][0].numpy()
