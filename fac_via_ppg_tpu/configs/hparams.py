@@ -126,6 +126,9 @@ _TPU_EXTENSIONS: Dict[str, Any] = {
     "compute_dtype": "float32",
     # Number of devices along the data axis of the jax mesh ("" = all).
     "data_parallel_devices": "",
+    # Devices along the 'model' mesh axis: tensor-parallel sharding of the
+    # wide PPG prenet matrices (parallel/sharding.py).  1 disables TP.
+    "tensor_parallel_devices": 1,
     # Pad batches to length buckets of this granularity to bound the number
     # of distinct compiled shapes (XLA traces once per shape).
     "length_bucket_size": 128,

@@ -114,10 +114,21 @@ def train(output_directory, log_directory, checkpoint_path, warm_start,
     opt_state = optimizer.init(params)
 
     n_data = getattr(hparams, "data_parallel_devices", "") or None
-    mesh = make_mesh(data=int(n_data) if n_data else None, model=1)
-    params = replicate(mesh, params)
+    n_model = int(getattr(hparams, "tensor_parallel_devices", 1) or 1)
+    mesh = make_mesh(data=int(n_data) if n_data else None, model=n_model)
+    if n_model > 1:
+        # tensor-parallel sharding of the wide PPG-facing matrices
+        from fac_via_ppg_tpu.parallel.sharding import (
+            apply_shardings,
+            tacotron2_param_shardings,
+        )
+
+        params = apply_shardings(params, tacotron2_param_shardings(mesh, params))
+        opt_state = optimizer.init(params)  # optimizer state follows params
+    else:
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
     model_state = replicate(mesh, model_state)
-    opt_state = replicate(mesh, opt_state)
 
     train_step = make_tacotron2_train_step(
         cfg, optimizer, hparams.mel_weight, hparams.gate_weight
