@@ -284,11 +284,17 @@ def compute_mfcc(
     if backend in ("auto", "native"):
         from fac_via_ppg_tpu import native
 
-        out = native.mfcc_compute(wav, fo.samp_freq, opts, seed=seed)
-        if out is not None:
-            return out
-        if backend == "native":
-            raise RuntimeError("native frontend library unavailable")
+        if native.supports(opts):
+            out = native.mfcc_compute(wav, fo.samp_freq, opts, seed=seed)
+            if out is not None:
+                return out
+            if backend == "native":
+                raise RuntimeError("native frontend library unavailable")
+        elif backend == "native":
+            raise ValueError(
+                "option combination not implemented by the native frontend "
+                "(see fac_via_ppg_tpu.native.supports); use backend='numpy'"
+            )
 
     idx = frame_indices(len(wav), fo)
     frames = wav[idx]  # (T, window_size)

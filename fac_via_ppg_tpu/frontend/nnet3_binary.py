@@ -167,8 +167,13 @@ def read_nnet3_binary(f: BinaryIO) -> Nnet3:
     node_order = []
     while True:
         _skip_ws(f)
-        if _peek(f, len(b"<NumComponents>")) == b"<NumComponents>":
+        head = _peek(f, len(b"<NumComponents>"))
+        if head == b"<NumComponents>":
             break
+        if not head:
+            raise kaldi_io.KaldiIOError(
+                "Truncated nnet3 file: EOF before <NumComponents>."
+            )
         line_bytes = []
         while True:
             c = f.read(1)
@@ -180,7 +185,9 @@ def read_nnet3_binary(f: BinaryIO) -> Nnet3:
             continue
         _parse_config_line(line, nodes, node_order)
 
-    assert _read_token(f) == "<NumComponents>"
+    tok = _read_token(f)
+    if tok != "<NumComponents>":
+        raise kaldi_io.KaldiIOError(f"Expected <NumComponents>, got {tok!r}")
     num = _read_basic(f, "i")
 
     components: Dict[str, Component] = {}
@@ -323,13 +330,23 @@ def write_nnet3_binary(net: Nnet3, path: str):
                     f.write(np.ascontiguousarray(val, "<i4").tobytes())
                 elif isinstance(val, str) and val in ("T", "F"):
                     f.write(val.encode("ascii"))
-                elif isinstance(val, bool) or val is True:
-                    _write_basic(f, bool(val), "b")
-                elif isinstance(val, int):
-                    _write_basic(f, val, "i")
-                elif isinstance(val, float):
-                    kind = _KEY_TYPES.get(key, "f")
-                    _write_basic(f, val, kind if kind in ("f", "d") else "f")
+                elif isinstance(val, bool):
+                    _write_basic(f, val, "b")
+                elif isinstance(val, (int, float)):
+                    # the key-type table decides the encoding: a float-typed
+                    # key whose value prints integral (e.g. <TargetRms> 1)
+                    # must still be float32 bits, or the reader reinterprets
+                    # the int32 pattern as a denormal
+                    kind = _KEY_TYPES.get(
+                        key, "i" if isinstance(val, int) else "f"
+                    )
+                    if kind in ("f", "d", "i"):
+                        _write_basic(f, val, kind)
+                    else:
+                        raise ValueError(
+                            f"Cannot binary-encode {key}={val!r} (type "
+                            f"table says {kind!r})"
+                        )
                 else:
                     raise ValueError(
                         f"Cannot binary-encode {key}={val!r} ({type(val)})"

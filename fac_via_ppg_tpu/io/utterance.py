@@ -176,6 +176,8 @@ def read_sym_table(sym_table_path: str) -> dict:
     sym_table = {}
     with open(sym_table_path) as reader:
         for line in reader:
+            if not line.strip():
+                continue
             key, val = line.split()
             if key in sym_table:
                 raise ValueError("Duplicated key: %s" % key)

@@ -38,7 +38,10 @@ def make_bundle(out_dir: str, n_senones: int = 5816, n_phones: int = 40,
     """Write the substitute bundle.  With overwrite=False only MISSING files
     are generated — the lazy DependenciesPPG path uses this so it can never
     clobber artifacts a user has replaced with real ones."""
-    rng = np.random.RandomState(seed)
+    # independent stream per artifact: skipping existing files
+    # (overwrite=False) must not shift the draws of the others
+    rng_lda = np.random.RandomState(seed + 1)
+    rng_map = np.random.RandomState(seed + 2)
     os.makedirs(os.path.join(out_dir, "am"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "feats"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "filelists"), exist_ok=True)
@@ -59,13 +62,13 @@ def make_bundle(out_dir: str, n_senones: int = 5816, n_phones: int = 40,
     # MFCC space (13 ceps x 7 context frames), like the real final.mat.
     path = want("feats", "final.mat")
     if path:
-        q, _ = np.linalg.qr(rng.randn(91, 40))
+        q, _ = np.linalg.qr(rng_lda.randn(91, 40))
         kaldi_io.write_matrix(path, q.T.astype(np.float32))
 
     # Senone->monophone map: every senone assigned to exactly one phone.
     path = want("feats", "reduce_dim.mat")
     if path:
-        assign = rng.randint(0, n_phones, size=n_senones)
+        assign = rng_map.randint(0, n_phones, size=n_senones)
         assign[:n_phones] = np.arange(n_phones)  # every phone non-empty
         reduce_dim = np.zeros((n_phones, n_senones), dtype=np.float32)
         reduce_dim[assign, np.arange(n_senones)] = 1.0

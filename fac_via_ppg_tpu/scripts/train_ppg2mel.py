@@ -123,10 +123,14 @@ def train(output_directory, log_directory, checkpoint_path, warm_start,
             tacotron2_param_shardings,
         )
 
-        params = apply_shardings(params, tacotron2_param_shardings(mesh, params))
+        param_shardings = tacotron2_param_shardings(mesh, params)
+        place_params = lambda p: apply_shardings(p, param_shardings)  # noqa: E731
+    else:
+        place_params = lambda p: replicate(mesh, p)  # noqa: E731
+    params = place_params(params)
+    if n_model > 1:
         opt_state = optimizer.init(params)  # optimizer state follows params
     else:
-        params = replicate(mesh, params)
         opt_state = replicate(mesh, opt_state)
     model_state = replicate(mesh, model_state)
 
@@ -151,7 +155,7 @@ def train(output_directory, log_directory, checkpoint_path, warm_start,
     if checkpoint_path:
         if warm_start:
             print("Warm starting model from checkpoint '%s'" % checkpoint_path)
-            params = replicate(mesh, ckpt.warm_start(checkpoint_path))
+            params = place_params(ckpt.warm_start(checkpoint_path))
         else:
             restored = ckpt.load_checkpoint(
                 checkpoint_path,
@@ -161,8 +165,15 @@ def train(output_directory, log_directory, checkpoint_path, warm_start,
                     "model_state": model_state,
                 },
             )
-            params = replicate(mesh, restored["params"])
-            opt_state = replicate(mesh, restored["opt_state"])
+            params = place_params(restored["params"])
+            if n_model > 1:
+                # re-impose the TP layout on the optimizer moments too
+                opt_state = jax.tree_util.tree_map(
+                    lambda r, t: jax.device_put(np.asarray(r), t.sharding),
+                    restored["opt_state"], opt_state,
+                )
+            else:
+                opt_state = replicate(mesh, restored["opt_state"])
             model_state = replicate(
                 mesh, restored.get("model_state", model_state)
             )
@@ -181,8 +192,21 @@ def train(output_directory, log_directory, checkpoint_path, warm_start,
     place = lambda batch: shard_batch(  # noqa: E731
         mesh, tuple(np.asarray(x) for x in batch)
     )
-    profile_ctx = trace(getattr(hparams, "profile_dir", ""))
-    profile_ctx.__enter__()
+    with trace(getattr(hparams, "profile_dir", "")):
+        return _train_loop(
+            hparams, cfg, mesh, params, model_state, opt_state, optimizer,
+            train_step, eval_step, train_loader, valset, logger, key,
+            learning_rate, iteration, epoch_offset, output_directory, pad_to,
+            place,
+        )
+
+
+def _train_loop(hparams, cfg, mesh, params, model_state, opt_state, optimizer,
+                train_step, eval_step, train_loader, valset, logger, key,
+                learning_rate, iteration, epoch_offset, output_directory,
+                pad_to, place):
+    from fac_via_ppg_tpu.data.prefetch import prefetch
+
     for epoch in range(epoch_offset, hparams.epochs):
         print("Epoch: {}".format(epoch))
         # Collation + H2D transfer of batch N+1 overlap step N on device.
@@ -232,7 +256,6 @@ def train(output_directory, log_directory, checkpoint_path, warm_start,
 
             iteration += 1
 
-    profile_ctx.__exit__(None, None, None)
     return params, model_state, opt_state, iteration
 
 
