@@ -102,18 +102,34 @@ def _read_text_matrix(f: BinaryIO) -> np.ndarray:
     return np.vstack(rows).astype(np.float32)
 
 
+def read_matrix_body(f: BinaryIO, token: str) -> np.ndarray:
+    """Binary matrix payload following an already-consumed FM/DM token."""
+    if token not in ("FM", "DM"):
+        raise KaldiIOError(f"Expected matrix token FM/DM, got {token!r}.")
+    rows = _read_basic(f, "i")
+    cols = _read_basic(f, "i")
+    dt = np.float32 if token == "FM" else np.float64
+    data = np.frombuffer(f.read(rows * cols * dt().itemsize), dtype=dt)
+    if data.size != rows * cols:
+        raise KaldiIOError("Matrix data truncated.")
+    return data.reshape(rows, cols).astype(np.float32)
+
+
+def read_vector_body(f: BinaryIO, token: str) -> np.ndarray:
+    """Binary vector payload following an already-consumed FV/DV token."""
+    if token not in ("FV", "DV"):
+        raise KaldiIOError(f"Expected vector token FV/DV, got {token!r}.")
+    dim = _read_basic(f, "i")
+    dt = np.float32 if token == "FV" else np.float64
+    data = np.frombuffer(f.read(dim * dt().itemsize), dtype=dt)
+    if data.size != dim:
+        raise KaldiIOError("Vector data truncated.")
+    return data.astype(np.float32)
+
+
 def read_matrix_stream(f: BinaryIO) -> np.ndarray:
     if _peek_binary(f):
-        token = _read_token(f)
-        if token not in ("FM", "DM"):
-            raise KaldiIOError(f"Expected matrix token FM/DM, got {token!r}.")
-        rows = _read_basic(f, "i")
-        cols = _read_basic(f, "i")
-        dt = np.float32 if token == "FM" else np.float64
-        data = np.frombuffer(f.read(rows * cols * dt().itemsize), dtype=dt)
-        if data.size != rows * cols:
-            raise KaldiIOError("Matrix data truncated.")
-        return data.reshape(rows, cols).astype(np.float32)
+        return read_matrix_body(f, _read_token(f))
     return _read_text_matrix(f)
 
 
@@ -138,13 +154,7 @@ def write_matrix(path: str, mat: np.ndarray):
 
 def read_vector_stream(f: BinaryIO) -> np.ndarray:
     if _peek_binary(f):
-        token = _read_token(f)
-        if token not in ("FV", "DV"):
-            raise KaldiIOError(f"Expected vector token FV/DV, got {token!r}.")
-        dim = _read_basic(f, "i")
-        dt = np.float32 if token == "FV" else np.float64
-        data = np.frombuffer(f.read(dim * dt().itemsize), dtype=dt)
-        return data.astype(np.float32)
+        return read_vector_body(f, _read_token(f))
     text = f.read().decode("utf-8")
     body = text[text.index("[") + 1 : text.index("]")]
     return np.array(body.split(), dtype=np.float32)

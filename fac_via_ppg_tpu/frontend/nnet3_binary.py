@@ -107,14 +107,8 @@ def _read_basic(f: BinaryIO, kind: str):
         if c not in (b"T", b"F"):
             raise kaldi_io.KaldiIOError(f"Bad bool byte {c!r}")
         return c == b"T"
-    size = {"i": 4, "f": 4, "d": 8}[kind]
-    prefix = f.read(1)
-    if len(prefix) != 1 or prefix[0] != size:
-        raise kaldi_io.KaldiIOError(
-            f"Bad basic size prefix {prefix!r} for kind {kind}"
-        )
-    fmt = {"i": "<i", "f": "<f", "d": "<d"}[kind]
-    return struct.unpack(fmt, f.read(size))[0]
+    # i/f/d share kaldi_io's validated size-prefixed reader
+    return kaldi_io._read_basic(f, kind)
 
 
 def _read_int_vector(f: BinaryIO) -> np.ndarray:
@@ -127,16 +121,9 @@ def _read_int_vector(f: BinaryIO) -> np.ndarray:
 
 def _read_matrix_or_vector(f: BinaryIO, token: str):
     if token in ("FM", "DM"):
-        dt = np.float32 if token == "FM" else np.float64
-        rows = _read_basic(f, "i")
-        cols = _read_basic(f, "i")
-        data = np.frombuffer(f.read(rows * cols * dt().itemsize), dtype=dt)
-        return data.reshape(rows, cols).astype(np.float32)
+        return kaldi_io.read_matrix_body(f, token)
     if token in ("FV", "DV"):
-        dt = np.float32 if token == "FV" else np.float64
-        dim = _read_basic(f, "i")
-        data = np.frombuffer(f.read(dim * dt().itemsize), dtype=dt)
-        return data.astype(np.float32)
+        return kaldi_io.read_vector_body(f, token)
     raise kaldi_io.KaldiIOError(f"Expected matrix/vector token, got {token!r}")
 
 
@@ -148,8 +135,7 @@ def _write_basic(f: BinaryIO, value, kind: str):
     if kind == "b":
         f.write(b"T" if value else b"F")
         return
-    size, fmt = {"i": (4, "<i"), "f": (4, "<f"), "d": (8, "<d")}[kind]
-    f.write(bytes([size]) + struct.pack(fmt, value))
+    kaldi_io._write_basic(f, value, kind)
 
 
 # --------------------------------------------------------------------------
