@@ -70,20 +70,27 @@ def bench_waveglow_rtf(batch: int = 16, seconds: float = 10.0,
     # the TPU analogue of the reference's fp16 inference mode; 55 dB SNR
     # vs the fp32 path with matched noise.
     rtf_bf16, elapsed = measure(jnp.bfloat16)
-    rtf_f32, _ = measure(None)
+    detail = {
+        "batch": batch,
+        "seconds_per_utt": seconds,
+        "iters": iters,
+        "elapsed_s": round(elapsed, 3),
+        "device": str(jax.devices()[0]),
+    }
+    try:
+        # secondary f32 figure; skipped if anything goes wrong so the
+        # headline line always prints (the f32 path costs its own ~3 min
+        # first compile)
+        rtf_f32, _ = measure(None)
+        detail["rtf_float32"] = round(rtf_f32, 2)
+    except Exception as exc:  # pragma: no cover
+        detail["rtf_float32_error"] = str(exc)[:200]
     return {
         "metric": "waveglow_rtf",
         "value": round(rtf_bf16, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf_bf16 / 50.0, 3),
-        "detail": {
-            "batch": batch,
-            "seconds_per_utt": seconds,
-            "iters": iters,
-            "elapsed_s": round(elapsed, 3),
-            "rtf_float32": round(rtf_f32, 2),
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
     }
 
 
