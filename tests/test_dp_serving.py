@@ -1,0 +1,59 @@
+"""Data-parallel vocoder serving over the CPU mesh (waveglow_inference CLI
+surface with --data_parallel): batch padding to the mesh, param
+replication, per-file outputs."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from fac_via_ppg_tpu.configs.hparams import WaveGlowConfig
+from fac_via_ppg_tpu.models.waveglow import init_waveglow
+from fac_via_ppg_tpu.scripts.waveglow_inference import main as wg_infer_main
+from fac_via_ppg_tpu.train import checkpoint as ckpt
+from fac_via_ppg_tpu.train.optim import make_optimizer
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs a multi-device mesh")
+def test_data_parallel_vocoder_serving(tmp_path, rng):
+    cfg = WaveGlowConfig(
+        n_mel_channels=80, hop_length=160, n_flows=2, n_group=8,
+        n_early_every=4, n_early_size=2, wn_n_layers=2, wn_n_channels=16,
+        wn_kernel_size=3, upsample_kernel_size=1024,
+    )
+    # the CLI builds a full-size WaveGlowConfig; write a checkpoint whose
+    # structure matches by monkeypatching is heavy — instead exercise the
+    # CLI code path with a full-size model but tiny mels.
+    full = WaveGlowConfig()
+    params = init_waveglow(jax.random.PRNGKey(0), full)
+    opt = make_optimizer(1e-5)
+    ckpt_path = str(tmp_path / "wg")
+    ckpt.save_checkpoint(ckpt_path, params, opt.init(params), 1e-5, 0)
+
+    mel_dir = tmp_path / "mels"
+    mel_dir.mkdir()
+    files = []
+    for i in range(5):  # 5 files, mesh of 8: exercises batch padding
+        p = str(mel_dir / f"m{i}.npy")
+        np.save(p, (rng.randn(80, 24) * 0.5 - 5.0).astype(np.float32))
+        files.append(p)
+    filelist = str(tmp_path / "mels.txt")
+    with open(filelist, "w") as f:
+        f.write("\n".join(files) + "\n")
+
+    out_dir = str(tmp_path / "out")
+    wg_infer_main(filelist, ckpt_path, out_dir, sigma=0.6,
+                  denoiser_strength=0.0, batch_size=2, data_parallel=True)
+
+    outputs = sorted(glob.glob(os.path.join(out_dir, "*.wav")))
+    assert len(outputs) == 5
+    from scipy.io import wavfile
+
+    for out in outputs:
+        fs, wav = wavfile.read(out)
+        assert fs == 16000
+        assert len(wav) == 24 * 160
+        assert np.isfinite(wav.astype(np.float64)).all()
