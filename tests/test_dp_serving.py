@@ -19,14 +19,8 @@ from fac_via_ppg_tpu.train.optim import make_optimizer
 
 @pytest.mark.skipif(jax.device_count() < 2, reason="needs a multi-device mesh")
 def test_data_parallel_vocoder_serving(tmp_path, rng):
-    cfg = WaveGlowConfig(
-        n_mel_channels=80, hop_length=160, n_flows=2, n_group=8,
-        n_early_every=4, n_early_size=2, wn_n_layers=2, wn_n_channels=16,
-        wn_kernel_size=3, upsample_kernel_size=1024,
-    )
-    # the CLI builds a full-size WaveGlowConfig; write a checkpoint whose
-    # structure matches by monkeypatching is heavy — instead exercise the
-    # CLI code path with a full-size model but tiny mels.
+    # the CLI builds a full-size WaveGlowConfig, so the checkpoint must be
+    # full-size too; mels are kept tiny to bound runtime.
     full = WaveGlowConfig()
     params = init_waveglow(jax.random.PRNGKey(0), full)
     opt = make_optimizer(1e-5)
