@@ -409,6 +409,12 @@ def tacotron2_inference(
     Returns (mel_out, mel_out_postnet, gate_out, alignments, n_steps).
     """
     B, _, T_in = ppg.shape
+    if B != 1:
+        raise ValueError(
+            f"tacotron2_inference stops on sequence 0's gate only (the "
+            f"reference's batch-1 semantics, model.py:524); got B={B}. "
+            f"Use tacotron2_inference_batched for per-sequence stopping."
+        )
     if input_lengths is None:
         input_lengths = jnp.full((B,), T_in, jnp.int32)
     key, k_enc = jax.random.split(key)

@@ -353,7 +353,7 @@ def cast_params(params, dtype):
 
 
 def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
-                   sigma: float, key, dtype=None) -> jnp.ndarray:
+                   sigma: float, key, dtype=None, noise=None) -> jnp.ndarray:
     """(B, 80, F) mel -> (B, T) audio (reference glow.py:252-293).
 
     `params` should be the remove_weightnorm form; the train form also works
@@ -363,6 +363,13 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
     accumulation — the TPU analogue of the reference's fp16 inference mode
     (inference.py:38-41, which likewise keeps the 1x1 inverses in fp32).
     Default (None) is full float32.
+
+    `noise` optionally injects the unit-variance gaussian draws instead of
+    sampling from `key`: a sequence in the reference's draw order — first
+    the (B, n_remaining, G) seed (glow.py:261-268), then one
+    (B, n_early_size, G) chunk per early output, visited k descending
+    (glow.py:284-289).  Each is scaled by `sigma` here.  This is the hook
+    that lets parity tests feed the exact z the reference torch model drew.
     """
     if dtype is not None:
         # 1x1 inverses stay fp32 like the reference's is_fp16 path.
@@ -383,12 +390,18 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
 
     chans = flow_channels(cfg)
     n_remaining = chans[-1]
-    key, sub = jax.random.split(key)
-    # Noise is always drawn in fp32 so that a given key produces the same z
-    # regardless of compute dtype, then cast.
-    audio = (
-        sigma * jax.random.normal(sub, (B, n_remaining, G), jnp.float32)
-    ).astype(spect_g.dtype)
+    noise_iter = iter(noise) if noise is not None else None
+
+    def draw(shape):
+        nonlocal key
+        if noise_iter is not None:
+            return jnp.asarray(next(noise_iter), jnp.float32)
+        key, sub = jax.random.split(key)
+        # Noise is always drawn in fp32 so that a given key produces the
+        # same z regardless of compute dtype, then cast.
+        return jax.random.normal(sub, shape, jnp.float32)
+
+    audio = (sigma * draw((B, n_remaining, G))).astype(spect_g.dtype)
 
     for k in reversed(range(cfg.n_flows)):
         audio_ch = audio.shape[1]
@@ -411,11 +424,7 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
         ).astype(spect_g.dtype)
 
         if k % cfg.n_early_every == 0 and k > 0:
-            key, sub = jax.random.split(key)
-            z = (
-                sigma
-                * jax.random.normal(sub, (B, cfg.n_early_size, G), jnp.float32)
-            ).astype(spect_g.dtype)
+            z = (sigma * draw((B, cfg.n_early_size, G))).astype(spect_g.dtype)
             audio = jnp.concatenate([z, audio], axis=1)
 
     return ungroup_audio(audio)

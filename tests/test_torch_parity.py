@@ -260,3 +260,178 @@ def test_tacotron2_forward_matches_reference(torch, rng):
         (jnp.asarray(mel), jnp.asarray(gate_t)), 1.0, 0.005,
     )
     np.testing.assert_allclose(float(my_loss), float(ref_loss), rtol=1e-4)
+
+
+# ==========================================================================
+# Serve path: autoregressive decode -> vocoder infer -> denoiser
+# ==========================================================================
+
+def test_tacotron2_autoregressive_inference_matches_reference(torch, rng):
+    """Full serve-path decode parity: gate-stopped autoregressive inference
+    (reference model.py:489-535 + 597-610) with dropout disabled both sides
+    must produce the identical stop step and pointwise-equal mel / gate /
+    alignment trajectories."""
+    from tests.torch_oracle import patch_cuda_to_cpu
+
+    patch_cuda_to_cpu()
+    hparams_mod = load_reference_module("common.hparams")
+    model_mod = patch_model_module_for_cpu(
+        load_reference_module("common.model")
+    )
+    hp = hparams_mod.create_hparams(max_decoder_steps=64, **T2_KW)
+    ref_model = model_mod.Tacotron2(hp)
+    ref_model.eval()
+
+    cfg = Tacotron2Config(max_decoder_steps=64, **T2_KW)
+    params, model_state = import_tacotron2_state_dict(
+        ref_model.state_dict(), cfg
+    )
+
+    T_in = 18
+    ppg = np.abs(rng.rand(1, cfg.n_symbols, T_in)).astype(np.float32)
+
+    with no_dropout(), torch.no_grad():
+        ref_mel, ref_mel_post, ref_gate, ref_align = [
+            t.detach().numpy()
+            for t in ref_model.inference(torch.tensor(ppg))
+        ]
+    n_ref = ref_mel.shape[-1]
+
+    orig_dropout = t2.dropout
+    t2.__dict__["dropout"] = lambda key, x, rate, enabled: x
+    try:
+        mel, mel_post, gate, align, t_end = t2.tacotron2_inference(
+            cfg, params, model_state, jnp.asarray(ppg),
+            jax.random.PRNGKey(3),
+        )
+    finally:
+        t2.__dict__["dropout"] = orig_dropout
+
+    assert int(t_end) == n_ref, (
+        f"stop step mismatch: {int(t_end)} vs reference {n_ref}"
+    )
+    k = int(t_end)
+    np.testing.assert_allclose(
+        np.asarray(align)[:, :k], ref_align.reshape(1, n_ref, T_in),
+        atol=1e-4, err_msg="alignment trajectory mismatch",
+    )
+    np.testing.assert_allclose(
+        np.asarray(mel)[:, :, :k], ref_mel, atol=5e-4,
+        err_msg="autoregressive mel mismatch",
+    )
+    np.testing.assert_allclose(
+        np.asarray(gate)[:, :k], ref_gate.reshape(1, n_ref), atol=5e-4,
+        err_msg="gate trajectory mismatch",
+    )
+    np.testing.assert_allclose(
+        np.asarray(mel_post)[:, :, :k], ref_mel_post, atol=1e-3,
+        err_msg="postnet mel mismatch",
+    )
+
+
+def test_tacotron2_inference_rejects_batch_gt_1(rng):
+    """The single-sequence decode stops on sequence 0's gate only; feeding
+    it a batch must be an explicit error, not silently wrong stopping."""
+    cfg = Tacotron2Config(max_decoder_steps=8, **T2_KW)
+    params, state = t2.init_tacotron2(jax.random.PRNGKey(0), cfg)
+    ppg = jnp.asarray(np.abs(rng.rand(2, cfg.n_symbols, 7)), jnp.float32)
+    with pytest.raises(ValueError, match="batch"):
+        t2.tacotron2_inference(cfg, params, state, ppg, jax.random.PRNGKey(0))
+
+
+def test_waveglow_infer_matches_reference_with_matched_noise(torch, rng):
+    """Generative-direction parity: feed my `waveglow_infer` the exact
+    gaussian draws the reference `WaveGlow.infer` (glow.py:252-293) made and
+    require pointwise-equal audio."""
+    from tests.torch_oracle import patch_cuda_to_cpu
+    from fac_via_ppg_tpu.models.waveglow import (
+        flow_channels, remove_weightnorm, waveglow_infer,
+    )
+
+    patch_cuda_to_cpu()
+    glow = load_reference_module("waveglow.glow")
+    ref_model = glow.WaveGlow(**WG_CONFIG)
+    ref_model.eval()
+    cfg = _wg_cfg()
+    params = remove_weightnorm(
+        import_waveglow_state_dict(ref_model.state_dict(), cfg)
+    )
+
+    B, F = 1, 64
+    sigma = 0.9
+    mel = rng.randn(B, 16, F).astype(np.float32)
+    G = F * cfg.hop_length // cfg.n_group
+
+    torch.manual_seed(2718)
+    with torch.no_grad():
+        ref_audio = ref_model.infer(torch.tensor(mel), sigma=sigma).numpy()
+
+    # Replay the reference's draw order with the same global RNG state:
+    # the (B, n_remaining, G) seed, then one (B, n_early_size, G) chunk per
+    # early output, k descending (glow.py:261-268, 284-289).
+    torch.manual_seed(2718)
+    n_remaining = flow_channels(cfg)[-1]
+    shapes = [(B, n_remaining, G)] + [
+        (B, cfg.n_early_size, G)
+        for k in reversed(range(cfg.n_flows))
+        if k % cfg.n_early_every == 0 and k > 0
+    ]
+    noise = [torch.FloatTensor(*s).normal_().numpy() for s in shapes]
+
+    audio = waveglow_infer(
+        cfg, params, jnp.asarray(mel), sigma, key=None, noise=noise
+    )
+    np.testing.assert_allclose(
+        np.asarray(audio), ref_audio, atol=2e-3,
+        err_msg="generative infer audio mismatch",
+    )
+
+
+def test_denoiser_matches_reference(torch, rng):
+    """Bias spectrum + spectral subtraction parity vs the reference
+    Denoiser (denoiser.py:35-68).  sigma=0 makes the bias audio
+    noise-independent, so the whole path is pointwise comparable."""
+    from tests.torch_oracle import patch_cuda_to_cpu
+    from fac_via_ppg_tpu.models.denoiser import Denoiser
+    from fac_via_ppg_tpu.models.waveglow import remove_weightnorm
+
+    patch_cuda_to_cpu()
+    glow = load_reference_module("waveglow.glow")
+    ref_denoiser_mod = load_reference_module("waveglow.denoiser")
+
+    # The reference Denoiser hardcodes an 80-channel bias mel
+    # (denoiser.py:45-47), so this config must be 80-mel.
+    wg_kw = dict(
+        n_mel_channels=80, hop_length=32, n_flows=4, n_group=8,
+        n_early_every=2, n_early_size=2,
+        WN_config=dict(n_layers=2, n_channels=16, kernel_size=3),
+    )
+    ref_model = glow.WaveGlow(**wg_kw)
+    ref_model.eval()
+    cfg = WaveGlowConfig(
+        n_mel_channels=80, hop_length=32, n_flows=4, n_group=8,
+        n_early_every=2, n_early_size=2, wn_n_layers=2, wn_n_channels=16,
+        wn_kernel_size=3, upsample_kernel_size=1024,
+    )
+    params = remove_weightnorm(
+        import_waveglow_state_dict(ref_model.state_dict(), cfg)
+    )
+
+    with torch.no_grad():
+        ref_den = ref_denoiser_mod.Denoiser(ref_model, mode="zeros")
+    my_den = Denoiser(cfg, params, mode="zeros")
+
+    np.testing.assert_allclose(
+        np.asarray(my_den.bias_spec), ref_den.bias_spec.numpy(), atol=5e-4,
+        err_msg="bias spectrum mismatch",
+    )
+
+    audio = (rng.randn(1, 4000) * 0.2).astype(np.float32)
+    for strength in (0.0, 0.1, 1.0):
+        with torch.no_grad():
+            ref_out = ref_den(torch.tensor(audio), strength=strength).numpy()
+        mine = np.asarray(my_den(jnp.asarray(audio), strength=strength))
+        np.testing.assert_allclose(
+            mine, ref_out, atol=5e-4,
+            err_msg=f"denoised audio mismatch at strength={strength}",
+        )

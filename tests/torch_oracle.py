@@ -137,6 +137,22 @@ def patch_model_module_for_cpu(model_module):
     return model_module
 
 
+def patch_cuda_to_cpu():
+    """Point the legacy `torch.cuda.*Tensor` constructors the reference
+    inference paths allocate on (glow.py:261-268/284-289, model.py:598) at
+    their CPU twins, and make `.cuda()` a no-op (denoiser.py:42-64).
+
+    Idempotent; patches stay for the process (tests only)."""
+    import torch
+
+    torch.cuda.FloatTensor = torch.FloatTensor
+    torch.cuda.HalfTensor = torch.HalfTensor
+    torch.cuda.LongTensor = torch.LongTensor
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    return torch
+
+
 class no_dropout:
     """Context manager disabling torch.nn.functional.dropout (the reference
     Prenet hardcodes training=True, model.py:134)."""
