@@ -177,18 +177,25 @@ class PPGMelDataset:
         return len(self.ppg_sequences)
 
 
-def ppg_acoustics_collate(batch, pad_to: int = 1):
+def ppg_acoustics_collate(batch, pad_to: int = 1, pad_dims=None):
     """Zero-pad a list of (ppg (T1, D1), mel (T2, D2)) pairs.
 
     Returns (ppg_padded (B, D1, T1max), input_lengths, acoustic_padded
     (B, D2, T2max), gate_padded (B, T2max), output_lengths), sorted by input
     length descending — reference data_utils.py:281-334.  `pad_to` rounds
     the padded lengths up to a multiple (TPU shape bucketing).
+
+    `pad_dims` = (input_len, target_len) pins both padded lengths exactly
+    (already rounded); multi-host training uses it so every process's shard
+    of a global batch agrees on the array shapes.
     """
     input_lengths = np.array([x[0].shape[0] for x in batch], dtype=np.int64)
     order = np.argsort(-input_lengths)
     input_lengths = input_lengths[order]
-    max_input_len = _round_up(int(input_lengths[0]), pad_to)
+    max_input_len = (
+        pad_dims[0] if pad_dims
+        else _round_up(int(input_lengths[0]), pad_to)
+    )
     ppg_dim = batch[0][0].shape[1]
 
     B = len(batch)
@@ -198,8 +205,9 @@ def ppg_acoustics_collate(batch, pad_to: int = 1):
         ppg_padded[i, : ppg.shape[0]] = ppg
 
     feat_dim = batch[0][1].shape[1]
-    max_target_len = _round_up(
-        max(x[1].shape[0] for x in batch), pad_to
+    max_target_len = (
+        pad_dims[1] if pad_dims
+        else _round_up(max(x[1].shape[0] for x in batch), pad_to)
     )
     acoustic_padded = np.zeros((B, max_target_len, feat_dim), np.float32)
     gate_padded = np.zeros((B, max_target_len), np.float32)
@@ -230,11 +238,23 @@ class EpochBatcher:
     Replaces torch DataLoader + DistributedSampler: each JAX process takes a
     strided slice of the shuffled index list (`shard`, `num_shards`), so
     multi-host training feeds disjoint data without a sampler object.
+
+    Multi-shard lockstep: the shuffle is a pure function of (seed, epoch),
+    so every process sees the identical global order and can compute every
+    OTHER shard's batch composition locally.  Two things depend on that:
+
+      * every shard runs the same number of batches per epoch (the minimum
+        across shards) — a straggler shard would otherwise hang the
+        collectives in the jitted train step;
+      * when `length_fn` is set, each batch is padded to the max length
+        over ALL shards' concurrent batches (rounded to `pad_to`), so the
+        per-process shards of one global batch share identical array
+        shapes without any cross-host communication.
     """
 
     def __init__(self, dataset, batch_size: int, seed: int, collate_fn,
                  drop_last: bool = True, shard: int = 0, num_shards: int = 1,
-                 pad_to: int = 1):
+                 pad_to: int = 1, length_fn=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
@@ -243,6 +263,7 @@ class EpochBatcher:
         self.shard = shard
         self.num_shards = num_shards
         self.pad_to = pad_to
+        self.length_fn = length_fn
         self.epoch = 0
 
     def __len__(self):
@@ -255,12 +276,22 @@ class EpochBatcher:
         rng = random.Random(self.seed + self.epoch)
         order = list(range(len(self.dataset)))
         rng.shuffle(order)
-        order = order[self.shard :: self.num_shards]
-        for i in range(0, len(order), self.batch_size):
-            idx = order[i : i + self.batch_size]
-            if self.drop_last and len(idx) < self.batch_size:
+        shards = [order[s :: self.num_shards] for s in range(self.num_shards)]
+        n_batches = len(self)
+        B = self.batch_size
+        for step in range(n_batches):
+            idx = shards[self.shard][step * B : (step + 1) * B]
+            if not idx or (self.drop_last and len(idx) < B):
                 break
-            yield self.collate_fn(
-                [self.dataset[j] for j in idx], pad_to=self.pad_to
-            )
+            kwargs = {"pad_to": self.pad_to}
+            if self.num_shards > 1 and self.length_fn is not None:
+                dims = [
+                    self.length_fn(self.dataset[j])
+                    for s in shards
+                    for j in s[step * B : (step + 1) * B]
+                ]
+                kwargs["pad_dims"] = tuple(
+                    _round_up(max(d), self.pad_to) for d in zip(*dims)
+                )
+            yield self.collate_fn([self.dataset[j] for j in idx], **kwargs)
         self.epoch += 1

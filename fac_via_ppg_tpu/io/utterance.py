@@ -71,7 +71,11 @@ def read_segment(val: Segment) -> IntervalTier:
     num_items = val.num_item
 
     if not (len(symbols) == len(start_time) == len(end_time) == num_items):
-        raise ValueError("Interval item number is not consistent!")
+        raise ValueError(
+            f"Segment message is internally inconsistent: {num_items} items "
+            f"declared but {len(symbols)} symbols / {len(start_time)} starts "
+            f"/ {len(end_time)} ends"
+        )
 
     interval = IntervalTier(minTime=start_time[0], maxTime=end_time[-1])
     for sym, min_time, max_time in zip(symbols, start_time, end_time):
@@ -96,7 +100,7 @@ def write_segment(val: IntervalTier, seg: Segment) -> None:
 def time_to_frame(t: float, shift: float) -> int:
     """Seconds -> zero-indexed frame at the given shift (ms)."""
     if t < 0:
-        raise ValueError("Time should be positive!")
+        raise ValueError(f"cannot frame a negative timestamp ({t} s)")
     frame_idx = int(math.floor(float(t) * 1000 / float(shift)))
     assert frame_idx >= 0, "Frame index should be non-negative."
     return frame_idx
@@ -114,8 +118,8 @@ def time_to_frame_interval_tier(time_tier: IntervalTier,
         curr_min = time_to_frame(each.minTime, shift)
         if start_shift > 0:
             logging.warning(
-                "Last segment is too short, have to cut the %d frame(s) "
-                "from the beginning of the current segment.", start_shift,
+                "previous segment borrowed %d frame(s); trimming them off "
+                "the front of this one", start_shift,
             )
             curr_min += start_shift
             start_shift = 0
@@ -124,12 +128,13 @@ def time_to_frame_interval_tier(time_tier: IntervalTier,
             curr_max = curr_min + 1
             start_shift = curr_max - curr_min
             logging.warning(
-                "The current segment is too short, extend it for %d "
-                "frame(s).", start_shift,
+                "segment shorter than one frame shift; widening it by %d "
+                "frame(s)", start_shift,
             )
         if curr_max > frame_tier.maxTime:
             raise ValueError(
-                "Extreme short segments in the tier, please fix these."
+                "segment repair pushed past the tier end; the tier has "
+                "too many sub-frame segments to repair"
             )
         frame_tier.add(curr_min, curr_max, each.mark)
     return frame_tier
@@ -147,7 +152,7 @@ def normalize_phone(s: str, is_rm_annotation: bool = True) -> str:
     if is_sil(parse_tag):
         return "sil"
     if len(parse_tag) == 0:
-        raise ValueError("Input %s is invalid." % s)
+        raise ValueError(f"no phone label recoverable from {s!r}")
     if is_rm_annotation:
         return parse_tag.split(",")[0]
     return parse_tag
@@ -161,7 +166,7 @@ def normalize_tier_mark(tier: IntervalTier,
                         mode: str = "NormalizePhoneCanonical") -> IntervalTier:
     if mode not in {"NormalizePhoneCanonical", "NormalizePhoneAnnotation",
                     "NormalizeWord"}:
-        raise ValueError("Mode %s is not valid." % mode)
+        raise ValueError(f"unknown tier normalization mode {mode!r}")
     for each in tier.intervals:
         if mode == "NormalizePhoneCanonical":
             each.mark = normalize_phone(each.mark, True)
@@ -180,7 +185,9 @@ def read_sym_table(sym_table_path: str) -> dict:
                 continue
             key, val = line.split()
             if key in sym_table:
-                raise ValueError("Duplicated key: %s" % key)
+                raise ValueError(
+                    f"symbol table {sym_table_path} defines {key!r} twice"
+                )
             sym_table[key] = int(val)
     return sym_table
 
@@ -205,7 +212,9 @@ class Utterance:
         if wav is None:
             wav = np.array([])
         if wav.size > 0 > fs:
-            raise ValueError("Sampling frequency is not set!")
+            raise ValueError(
+                "an Utterance holding audio needs its sampling rate (fs)"
+            )
         self.wav = wav
         self.fs = fs
         self.text = text
@@ -230,10 +239,12 @@ class Utterance:
         """Frame-aligned, normalized phone tier from the stored alignment."""
         if self.kaldi_shift < 1:
             raise ValueError(
-                "Invalid frame kaldi frame shift parameter %d." % self.kaldi_shift
+                f"kaldi_shift must be >= 1 ms, got {self.kaldi_shift}"
             )
         if len(self.align) == 0:
-            raise ValueError("Empty alignment, please run alignment first.")
+            raise ValueError(
+                "no stored alignment on this utterance; align it first"
+            )
         phone_tier = time_to_frame_interval_tier(
             self.align.getFirst("phones"), self.kaldi_shift
         )
@@ -244,10 +255,12 @@ class Utterance:
     def get_word_tier(self) -> IntervalTier:
         if self.kaldi_shift < 1:
             raise ValueError(
-                "Invalid frame kaldi frame shift parameter %d." % self.kaldi_shift
+                f"kaldi_shift must be >= 1 ms, got {self.kaldi_shift}"
             )
         if len(self.align) == 0:
-            raise ValueError("Empty alignment, please run alignment first.")
+            raise ValueError(
+                "no stored alignment on this utterance; align it first"
+            )
         word_tier = time_to_frame_interval_tier(
             self.align.getFirst("words"), self.kaldi_shift
         )
@@ -259,7 +272,7 @@ class Utterance:
         """Compute + store the monophone PPG from the stored waveform."""
         if self.kaldi_shift < 1:
             raise ValueError(
-                "Invalid frame kaldi frame shift parameter %d." % self.kaldi_shift
+                f"kaldi_shift must be >= 1 ms, got {self.kaldi_shift}"
             )
         if self.wav.size == 0 or self.fs < 0:
             raise ValueError(
@@ -307,7 +320,9 @@ class Utterance:
         if val > 0 or val == -1:
             self._data.fs = val
         else:
-            raise ValueError("Sampling frequency must be positive!")
+            raise ValueError(
+                f"sampling rate must be positive or the -1 sentinel, got {val}"
+            )
 
     @property
     def text(self) -> str:

@@ -47,8 +47,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch pytree with the leading axis sharded on 'data'."""
+    """Place a host batch pytree with the leading axis sharded on 'data'.
+
+    Single-process: `batch` is the global batch; device_put scatters it.
+    Multi-process: `batch` is this process's shard (what EpochBatcher
+    yields), and the global array is assembled from the per-process local
+    data — each host feeds only its own rows, nothing crosses DCN.
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, x), batch
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sh), batch
     )

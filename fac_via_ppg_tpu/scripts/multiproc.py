@@ -23,23 +23,22 @@ import argparse
 import sys
 
 
-def main():
-    parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--coordinator", type=str, default=None,
-                        help="coordinator address HOST:PORT (auto on Cloud TPU)")
-    parser.add_argument("--num_processes", type=int, default=None)
-    parser.add_argument("--process_id", type=int, default=None)
-    parser.add_argument("trainer", choices=["train_ppg2mel", "train_waveglow"])
-    parser.add_argument("overrides", nargs="*")
-    args = parser.parse_args()
+def initialize_distributed(coordinator=None, num_processes=None,
+                           process_id=None):
+    """Join (or form) the multi-process JAX runtime.
 
+    With explicit arguments this rendezvouses at coordinator HOST:PORT;
+    with none it lets Cloud TPU auto-detection take over, degrading to a
+    plain single-process run where there is nothing to detect.  Replaces
+    the reference's per-GPU NCCL TCP rendezvous (distributed.py:145-170).
+    """
     import jax
 
-    if args.coordinator or args.num_processes:
+    if coordinator or num_processes:
         jax.distributed.initialize(
-            coordinator_address=args.coordinator,
-            num_processes=args.num_processes,
-            process_id=args.process_id,
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
         )
     else:
         # Cloud TPU: everything auto-detected; no-op on single host.
@@ -52,6 +51,21 @@ def main():
         f"process {jax.process_index()}/{jax.process_count()}, "
         f"local devices: {jax.local_device_count()}, "
         f"global devices: {jax.device_count()}"
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="coordinator address HOST:PORT (auto on Cloud TPU)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("trainer", choices=["train_ppg2mel", "train_waveglow"])
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args()
+
+    initialize_distributed(
+        args.coordinator, args.num_processes, args.process_id
     )
 
     overrides = {}

@@ -60,6 +60,7 @@ def prepare_dataloaders(hparams):
         drop_last=True,
         shard=jax.process_index(), num_shards=jax.process_count(),
         pad_to=pad_to,
+        length_fn=lambda item: (item[0].shape[0], item[1].shape[0]),
     )
     return train_loader, valset
 

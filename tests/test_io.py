@@ -299,3 +299,46 @@ def test_utterance_align_roundtrip():
 
     word_tier = utt.get_word_tier()
     assert word_tier[0].mark == "word"
+
+
+def test_textgrid_short_format_parses():
+    """The value-stream parser must read Praat's short format, which drops
+    all `key =` decoration and item headers."""
+    short = '\n'.join([
+        'File type = "ooTextFile short"',
+        '"TextGrid"',
+        '0', '1.5',
+        '<exists>',
+        '1',
+        '"IntervalTier"',
+        '"phones"',
+        '0', '1.5',
+        '2',
+        '0', '0.7', '"ah"',
+        '0.7', '1.5', '"sil"',
+    ]) + '\n'
+    tg = read_tg_from_str(short)
+    tier = tg.getFirst("phones")
+    assert [iv.mark for iv in tier] == ["ah", "sil"]
+    assert abs(tier[0].maxTime - 0.7) < 1e-6
+    # and it round-trips through the long-format writer
+    tg2 = read_tg_from_str(write_tg_to_str(tg))
+    assert [iv.mark for iv in tg2.getFirst("phones")] == ["ah", "sil"]
+
+
+def test_textgrid_multiline_mark_roundtrip():
+    tg = TextGrid(maxTime=1.0)
+    tier = IntervalTier("notes", 0.0, 1.0)
+    tier.add(0.0, 1.0, 'line one\nline "two"')
+    tg.append(tier)
+    tg2 = read_tg_from_str(write_tg_to_str(tg))
+    assert tg2.getFirst("notes")[0].mark == 'line one\nline "two"'
+
+
+def test_textgrid_rejects_non_praat_text():
+    with pytest.raises(ValueError):
+        read_tg_from_str('File type = "nonsense"\n"TextGrid"\n0\n1\n0\n')
+    with pytest.raises(ValueError):
+        read_tg_from_str(
+            'File type = "ooTextFile"\nObject class = "Pitch"\n\n'
+        )

@@ -1,0 +1,104 @@
+"""Multi-host execution test: 2 real OS processes, gloo CPU collectives.
+
+Exercises the capability the reference gets from multiproc.py:38-55 +
+distributed.py:145-170 (multi-process data-parallel training with a TCP
+rendezvous): two localhost JAX processes initialize through
+`scripts.multiproc.initialize_distributed`, train the real jitted Tacotron2
+DP step over a 2-process x 2-device mesh on disjoint EpochBatcher shards,
+and must agree with each other AND with a single-process replay of the
+same global batches.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _load(path):
+    data = np.load(path, allow_pickle=False)
+    n = int(data["n_leaves"])
+    return (
+        [data[f"leaf_{i}"] for i in range(n)],
+        str(data["treedef"]),
+        data["losses"],
+    )
+
+
+def test_two_process_dp_matches_single_process(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = "/root/repo"
+    outs = [str(tmp_path / f"proc{i}.npz") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "tests.mp_worker", str(i), "2",
+             str(port), outs[i]],
+            cwd="/root/repo", env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process workers timed out")
+        logs.append(out)
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, (
+            f"worker {i} failed:\n{logs[i][-4000:]}"
+        )
+
+    leaves0, tree0, losses0 = _load(outs[0])
+    leaves1, tree1, losses1 = _load(outs[1])
+
+    # Both processes must hold the identical replicated result.
+    assert tree0 == tree1
+    np.testing.assert_array_equal(losses0, losses1)
+    for a, b in zip(leaves0, leaves1):
+        np.testing.assert_array_equal(a, b)
+
+    # Single-process oracle over the SAME global batches: concatenate the
+    # two shards' per-step local batches in process order (the row order
+    # make_array_from_process_local_data assembles) and replay.
+    import jax
+
+    from tests.mp_worker import STEPS, flatten_params, make_batcher, run_training
+
+    shard_iters = [iter(make_batcher(s, 2)) for s in range(2)]
+    global_batches = []
+    for _ in range(STEPS):
+        parts = [next(it) for it in shard_iters]
+        global_batches.append(tuple(
+            np.concatenate([np.asarray(p[f]) for p in parts], axis=0)
+            for f in range(len(parts[0]))
+        ))
+
+    from fac_via_ppg_tpu.parallel.mesh import make_mesh
+
+    # 4-row global batch -> a 4-device data mesh on the test process.
+    params, losses_ref = run_training(
+        jax, global_batches, mesh=make_mesh(data=4)
+    )
+    leaves_ref, tree_ref = flatten_params(params)
+
+    assert tree0 == tree_ref
+    np.testing.assert_allclose(losses0, losses_ref, atol=1e-5)
+    for a, b in zip(leaves0, leaves_ref):
+        np.testing.assert_allclose(a, b, atol=1e-5)
