@@ -270,3 +270,138 @@ def test_full_ppg_pipeline(tmp_path, rng):
     # Monophone reduction preserves probability mass (reference
     # test_ppg.py:56-73).
     np.testing.assert_allclose(mono.sum(axis=1), 1.0, atol=1e-4)
+
+
+# ---------------------------------------------------------- spec golden pins
+# Literal expected values derived independently from the Kaldi formulas
+# (feature-window.cc, mel-computations.cc, ComputeDctMatrix, ComputeLifter-
+# Coeffs), NOT from this package: they pin the numerics so mfcc.py and the
+# C++ twin native/src/frontend.cc cannot drift in lockstep.  Reference
+# behavior under test: /root/reference/src/common/feat.py:74-98 (Kaldi
+# MFCC, 16 kHz, 25 ms povey frames, 10 ms shift, snip_edges=False).
+
+def test_golden_povey_window_values():
+    from fac_via_ppg_tpu.frontend.mfcc import (
+        FrameExtractionOptions, feature_window,
+    )
+
+    w = feature_window(FrameExtractionOptions())  # 400-sample povey
+    assert w.shape == (400,)
+    # (0.5 - 0.5 cos(2 pi n / 399))^0.85
+    np.testing.assert_allclose(w[0], 0.0, atol=1e-12)
+    np.testing.assert_allclose(w[1], 0.0002651509774601967, rtol=1e-10)
+    np.testing.assert_allclose(w[100], 0.5566406644983896, rtol=1e-10)
+    np.testing.assert_allclose(w[200], 0.9999868261974606, rtol=1e-10)
+    np.testing.assert_allclose(w[399], 0.0, atol=1e-12)
+    np.testing.assert_allclose(w[199], w[200], rtol=1e-12)  # symmetric peak
+
+
+def test_golden_frame_counts():
+    from fac_via_ppg_tpu.frontend.mfcc import (
+        FrameExtractionOptions, num_frames,
+    )
+
+    nosnip = FrameExtractionOptions(snip_edges=False)
+    # (S + shift/2) // shift
+    assert num_frames(16000, nosnip) == 100
+    assert num_frames(15999, nosnip) == 100
+    assert num_frames(8039, nosnip) == 50
+    assert num_frames(399, nosnip) == 2
+    assert num_frames(80, nosnip) == 1
+    assert num_frames(79, nosnip) == 0
+    snip = FrameExtractionOptions(snip_edges=True)
+    # 1 + (S - size) // shift
+    assert num_frames(16000, snip) == 98
+    assert num_frames(400, snip) == 1
+    assert num_frames(399, snip) == 0
+
+
+def test_golden_edge_reflection_indices():
+    from fac_via_ppg_tpu.frontend.mfcc import (
+        FrameExtractionOptions, frame_indices,
+    )
+
+    idx = frame_indices(16000, FrameExtractionOptions(snip_edges=False))
+    # first frame starts at -120; s < 0 reflects to -s-1
+    assert idx[0, 0] == 119 and idx[0, 1] == 118
+    assert idx[0, 119] == 0 and idx[0, 120] == 0 and idx[0, 121] == 1
+    assert idx[0, -1] == 279
+    # last frame starts at 15720; s >= S reflects to 2S-1-s
+    assert idx[-1, 0] == 15720
+    assert idx[-1, 279] == 15999 and idx[-1, 280] == 15999
+    assert idx[-1, -1] == 15880
+
+
+def test_golden_mel_bank_geometry():
+    from fac_via_ppg_tpu.frontend.mfcc import (
+        FrameExtractionOptions, MelBanksOptions, mel_banks, _mel_scale_htk,
+    )
+
+    # mel(f) = 1127 ln(1 + f/700); 23 bins spanning 20 Hz .. nyquist
+    np.testing.assert_allclose(
+        _mel_scale_htk(20.0), 31.748578341466644, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        _mel_scale_htk(8000.0), 2840.0377117383778, rtol=1e-12
+    )
+    banks = mel_banks(MelBanksOptions(), FrameExtractionOptions())
+    assert banks.shape == (23, 256)  # nyquist bin dropped
+    # triangular weights at hand-computed FFT bins (bin = k * 31.25 Hz)
+    np.testing.assert_allclose(banks[0, 3], 0.9392369653749131, rtol=1e-9)
+    np.testing.assert_allclose(banks[0, 4], 0.688844746310945, rtol=1e-9)
+    np.testing.assert_allclose(banks[1, 5], 0.6692443363707117, rtol=1e-9)
+    np.testing.assert_allclose(banks[2, 8], 0.6699519247135282, rtol=1e-9)
+    np.testing.assert_allclose(banks[0, 10], 0.0, atol=1e-12)
+    # every filter is a partition of unity where triangles overlap fully
+    assert banks.max() <= 1.0 + 1e-12
+
+
+def test_golden_dct_and_lifter_rows():
+    from fac_via_ppg_tpu.frontend.mfcc import dct_matrix, lifter_coeffs
+
+    dct = dct_matrix(13, 23)
+    np.testing.assert_allclose(dct[0], 0.20851441405707477, rtol=1e-12)
+    np.testing.assert_allclose(dct[1, 0], 0.2941964698482033, rtol=1e-10)
+    np.testing.assert_allclose(dct[12, 22], 0.20127394123166248, rtol=1e-10)
+    # orthonormal rows
+    np.testing.assert_allclose(dct @ dct.T, np.eye(13), atol=1e-12)
+
+    lift = lifter_coeffs(13, 22.0)
+    np.testing.assert_allclose(lift[0], 1.0, rtol=1e-12)
+    np.testing.assert_allclose(lift[1], 2.5654632210061363, rtol=1e-10)
+    np.testing.assert_allclose(lift[6], 9.313245317896842, rtol=1e-10)
+    np.testing.assert_allclose(lift[12], 11.88803586069026, rtol=1e-10)
+
+
+# The 13 cepstra of one deterministic frame, computed by an independent
+# from-the-spec pipeline (remove-DC -> raw energy -> preemph 0.97 with
+# x[0] -= 0.97 x[0] -> povey -> 512-FFT power -> 23 mel -> log -> DCT-II
+# -> lifter Q=22 -> C0 = raw log energy).  Input: one 440 Hz sine period
+# set, frame 1 of snip_edges=False framing (samples 40..439, interior).
+GOLDEN_FRAME = np.array([
+    21.48752393, 35.55915372, 49.11168063, -9.54441271, -54.80111368,
+    -77.17496234, -73.15164786, -48.76179697, -31.82245652, 4.28555171,
+    21.92895756, 23.36869716, 25.28961983,
+])
+
+
+def _golden_wav():
+    t = np.arange(480)
+    return np.round(3276.7 * np.sin(2 * np.pi * 440.0 * t / 16000.0))
+
+
+@pytest.mark.parametrize("backend", ["numpy", "native"])
+def test_golden_full_frame(backend):
+    from fac_via_ppg_tpu.frontend.mfcc import (
+        FrameExtractionOptions, MfccOptions, compute_mfcc,
+    )
+
+    opts = MfccOptions(
+        frame_opts=FrameExtractionOptions(dither=0.0, snip_edges=False)
+    )
+    try:
+        out = compute_mfcc(_golden_wav(), 16000.0, opts, backend=backend)
+    except RuntimeError:
+        pytest.skip("native frontend library unavailable")
+    assert out.shape == (3, 13)
+    np.testing.assert_allclose(out[1], GOLDEN_FRAME, rtol=2e-6, atol=2e-5)
