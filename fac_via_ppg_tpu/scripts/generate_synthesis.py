@@ -56,7 +56,8 @@ def main():
     output_dir = args.output_dir
     os.makedirs(output_dir, exist_ok=True)
     logging.basicConfig(
-        filename=os.path.join(output_dir, "debug.log"), level=logging.DEBUG
+        filename=os.path.join(output_dir, "debug.log"), level=logging.DEBUG,
+        force=True,  # write the file even if a host app configured logging
     )
     logging.info("Output dir: %s", output_dir)
 
