@@ -1,6 +1,6 @@
 """Headline benchmark: WaveGlow synthesis real-time factor per chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line (default, the driver's protocol):
   {"metric": "waveglow_rtf", "value": <x realtime>, "unit": "x_realtime",
    "vs_baseline": <value / 50>}
 
@@ -14,10 +14,17 @@ weight-norm folded as in deployment, batch 16 x 10 s of audio per call
 (the batched-vocoder serving point, BASELINE config 2; throughput
 saturates near this batch — 288/325/338x RT at batch 4/8/16), 3 warmup +
 10 timed iterations, each forcing a scalar readback.
+
+Additional configs (one JSON line each; numbers recorded in docs/PERF.md):
+  python bench.py --config e2e        # BASELINE config 1: single-utterance
+                                      # wav -> PPG -> mel -> wav latency
+  python bench.py --config streaming  # BASELINE config 5: streaming AC
+  python bench.py --wn_impl pallas    # rtf with the fused Pallas WN kernel
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -27,7 +34,8 @@ import numpy as np
 
 
 def bench_waveglow_rtf(batch: int = 16, seconds: float = 10.0,
-                       warmup: int = 3, iters: int = 10) -> dict:
+                       warmup: int = 3, iters: int = 10,
+                       wn_impl: str = "xla") -> dict:
     from fac_via_ppg_tpu.configs.hparams import WaveGlowConfig
     from fac_via_ppg_tpu.models.waveglow import (
         init_waveglow,
@@ -52,9 +60,8 @@ def bench_waveglow_rtf(batch: int = 16, seconds: float = 10.0,
     def measure(dtype):
         infer = jax.jit(
             lambda p, m, k: jnp.sum(
-                waveglow_infer(cfg, p, m, 0.6, k, dtype=dtype).astype(
-                    jnp.float32
-                )
+                waveglow_infer(cfg, p, m, 0.6, k, dtype=dtype,
+                               wn_impl=wn_impl).astype(jnp.float32)
             )
         )
         for i in range(warmup):
@@ -76,6 +83,7 @@ def bench_waveglow_rtf(batch: int = 16, seconds: float = 10.0,
         "iters": iters,
         "elapsed_s": round(elapsed, 3),
         "device": str(jax.devices()[0]),
+        "wn_impl": wn_impl,
     }
     try:
         # secondary f32 figure; skipped if anything goes wrong so the
@@ -94,6 +102,145 @@ def bench_waveglow_rtf(batch: int = 16, seconds: float = 10.0,
     }
 
 
+def _full_size_models():
+    """Full-size random-weight model pair + PPG deps (FLOPs match trained)."""
+    from fac_via_ppg_tpu.configs.hparams import (
+        Tacotron2Config, WaveGlowConfig, create_hparams_stage,
+    )
+    from fac_via_ppg_tpu.frontend import ppg as ppg_mod
+    from fac_via_ppg_tpu.models.tacotron2 import init_tacotron2
+    from fac_via_ppg_tpu.models.waveglow import init_waveglow, remove_weightnorm
+
+    hp = create_hparams_stage()
+    t2_cfg = Tacotron2Config.from_hparams(hp)
+    t2_params, t2_state = init_tacotron2(jax.random.PRNGKey(0), t2_cfg)
+    wg_cfg = WaveGlowConfig()
+    wg_params = remove_weightnorm(init_waveglow(jax.random.PRNGKey(1), wg_cfg))
+    deps = ppg_mod.DependenciesPPG()
+    return t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps
+
+
+def _synth_wavs(tmpdir: str, n: int, seconds: float):
+    from scipy.io import wavfile
+
+    paths = []
+    rng = np.random.RandomState(0)
+    t = np.arange(int(seconds * 16000)) / 16000.0
+    for i in range(n):
+        f0 = 120 + 40 * rng.rand()
+        wav = (
+            np.sin(2 * np.pi * f0 * t) * (0.4 + 0.2 * np.sin(2 * np.pi * 3 * t))
+        )
+        p = f"{tmpdir}/utt{i}.wav"
+        wavfile.write(p, 16000, (wav * 12000).astype(np.int16))
+        paths.append(p)
+    return paths
+
+
+def bench_e2e_latency(utt_seconds: float = 4.0, warmup: int = 2,
+                      iters: int = 5) -> dict:
+    """BASELINE config 1: single-utterance wav -> PPG -> autoregressive
+    mel -> WaveGlow -> Denoiser -> wav latency.
+
+    Random weights, so the gate never fires reliably: the decoder is pinned
+    to exactly `utt_seconds` worth of frames (gate_threshold > 1) — the
+    length a trained model would produce, making latency deterministic.
+    """
+    import dataclasses
+    import tempfile
+
+    from fac_via_ppg_tpu.frontend import ppg as ppg_mod
+    from fac_via_ppg_tpu.models.denoiser import Denoiser
+    from fac_via_ppg_tpu.utils.inference import get_inference, waveglow_audio
+
+    t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps = _full_size_models()
+    n_frames = int(utt_seconds * 100)  # 10 ms hop
+    t2_cfg = dataclasses.replace(
+        t2_cfg, max_decoder_steps=n_frames, gate_threshold=1.01
+    )
+    denoiser = Denoiser(wg_cfg, wg_params)
+
+    with tempfile.TemporaryDirectory() as td:
+        paths = _synth_wavs(td, warmup + iters, utt_seconds)
+        lat = []
+        key = jax.random.PRNGKey(0)
+        for i, p in enumerate(paths):
+            key, k_mel, k_wg = jax.random.split(key, 3)
+            start = time.perf_counter()
+            ppg = ppg_mod.get_ppg(p, deps)
+            mel = get_inference(ppg, t2_cfg, t2_params, t2_state, k_mel,
+                                pad_to_frames=64)
+            audio = waveglow_audio(mel, wg_cfg, wg_params, 0.6, k_wg,
+                                   dtype=jnp.bfloat16, pad_to_frames=100)
+            out = denoiser(audio, strength=0.005)
+            float(jnp.sum(out.astype(jnp.float32)))  # force readback
+            if i >= warmup:
+                lat.append(time.perf_counter() - start)
+    lat_s = float(np.median(lat))
+    return {
+        "metric": "e2e_latency",
+        "value": round(lat_s, 3),
+        "unit": "s_per_utt",
+        "vs_baseline": round(utt_seconds / lat_s, 3),  # x real time
+        "detail": {
+            "utt_seconds": utt_seconds,
+            "iters": iters,
+            "per_utt_s": [round(x, 3) for x in lat],
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
+def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0) -> dict:
+    """BASELINE config 5: streaming accent conversion throughput
+    (front-end overlapped with device synthesis), steady state."""
+    import dataclasses
+    import tempfile
+
+    from fac_via_ppg_tpu.eval.streaming import StreamingAccentConverter
+
+    t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps = _full_size_models()
+    n_frames = int(utt_seconds * 100)
+    t2_cfg = dataclasses.replace(
+        t2_cfg, max_decoder_steps=n_frames, gate_threshold=1.01
+    )
+    conv = StreamingAccentConverter(
+        t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps=deps,
+        serving_dtype=jnp.bfloat16,
+    )
+    with tempfile.TemporaryDirectory() as td:
+        paths = _synth_wavs(td, n_utts, utt_seconds)
+        results = list(conv.run(paths))
+    # steady state: drop the first two (compiles)
+    steady = results[2:]
+    audio_s = sum(r.audio_seconds for r in steady)
+    wall_s = sum(r.wall_seconds for r in steady)
+    rtf = audio_s / wall_s
+    return {
+        "metric": "streaming_rtf",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 1.0, 3),  # >=1 means faster than live
+        "detail": {
+            "n_utts": n_utts,
+            "utt_seconds": utt_seconds,
+            "steady_utts": len(steady),
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
 if __name__ == "__main__":
-    result = bench_waveglow_rtf()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="rtf",
+                        choices=["rtf", "e2e", "streaming"])
+    parser.add_argument("--wn_impl", default="xla",
+                        choices=["xla", "pallas"])
+    args = parser.parse_args()
+    if args.config == "rtf":
+        result = bench_waveglow_rtf(wn_impl=args.wn_impl)
+    elif args.config == "e2e":
+        result = bench_e2e_latency()
+    else:
+        result = bench_streaming()
     print(json.dumps(result))

@@ -237,6 +237,92 @@ def wn_apply(cfg: WaveGlowConfig, wn: dict, audio_half: jnp.ndarray,
     return _wn_conv_apply(wn["end"], output)
 
 
+# --------------------------------------------------------------------------
+# Pallas WN path (ops/wn_pallas.py): whole layer fused in VMEM per tile
+# --------------------------------------------------------------------------
+
+def pack_wn_pallas(cfg: WaveGlowConfig, wn: dict) -> dict:
+    """One flow's WN params -> channels-last packed form for the Pallas
+    kernel: 1x1 convs become (in, out) matmul weights, the dilated k=3
+    convs become the stacked (3C, 2C) tap matrix."""
+    from fac_via_ppg_tpu.ops.wn_pallas import pack_in_weight
+
+    fold = lambda p: _weight_norm_fold(p) if "v" in p else p  # noqa: E731
+    start = fold(wn["start"])
+    cond = [fold(p) for p in wn["cond_layers"]]
+    return {
+        "start_w": start["weight"][:, :, 0].T,
+        "start_b": start["bias"],
+        "cond_w": jnp.concatenate(
+            [p["weight"] for p in cond], axis=0
+        )[:, :, 0].T,
+        "cond_b": jnp.concatenate([p["bias"] for p in cond], axis=0),
+        "in_w": [pack_in_weight(fold(p)["weight"]) for p in wn["in_layers"]],
+        "in_b": [fold(p)["bias"] for p in wn["in_layers"]],
+        "rs_w": [fold(p)["weight"][:, :, 0].T
+                 for p in wn["res_skip_layers"]],
+        "rs_b": [fold(p)["bias"] for p in wn["res_skip_layers"]],
+        "end_w": wn["end"]["weight"][:, :, 0].T,
+        "end_b": wn["end"]["bias"],
+    }
+
+
+def wn_apply_pallas(cfg: WaveGlowConfig, packed: dict,
+                    audio_half: jnp.ndarray, spect_grouped: jnp.ndarray,
+                    tile_t: int = 512, interpret: bool = False) -> jnp.ndarray:
+    """`wn_apply` on the fused Pallas layer kernel (channels-last).
+
+    Numerically equivalent to `wn_apply`: time is padded to a tile
+    multiple and re-zeroed after every layer so each dilated conv sees the
+    same zero padding the XLA conv path applies.  Layers whose dilation is
+    below the sublane size fall back to the XLA formulation inside
+    wn_layer_pallas.
+    """
+    from fac_via_ppg_tpu.ops.wn_pallas import wn_layer_pallas
+
+    C = cfg.wn_n_channels
+    B, n_half, T = audio_half.shape
+    dt = audio_half.dtype
+
+    x_cl = audio_half.transpose(0, 2, 1)
+    x = (
+        jnp.dot(x_cl, packed["start_w"], preferred_element_type=jnp.float32)
+        + packed["start_b"]
+    ).astype(dt)
+    cond_all = (
+        jnp.dot(spect_grouped.transpose(0, 2, 1), packed["cond_w"],
+                preferred_element_type=jnp.float32)
+        + packed["cond_b"]
+    ).astype(dt)
+
+    t_pad = -(-T // tile_t) * tile_t
+    if t_pad != T:
+        # pad rows would hold the start-conv bias, not the zeros the XLA
+        # conv padding implies — zero them now and after every layer.
+        x = jnp.pad(x, ((0, 0), (0, t_pad - T), (0, 0)))
+        cond_all = jnp.pad(cond_all, ((0, 0), (0, t_pad - T), (0, 0)))
+        mask = (jnp.arange(t_pad) < T)[None, :, None].astype(dt)
+        x = x * mask
+    skip_sum = None
+    for i in range(cfg.wn_n_layers):
+        x, skip = wn_layer_pallas(
+            x, cond_all[:, :, 2 * C * i : 2 * C * (i + 1)],
+            packed["in_w"][i], packed["in_b"][i],
+            packed["rs_w"][i], packed["rs_b"][i],
+            dilation=2 ** i, last=(i == cfg.wn_n_layers - 1),
+            tile_t=tile_t, interpret=interpret,
+        )
+        if t_pad != T:
+            x = x * mask  # keep the XLA path's per-layer zero padding
+        skip_sum = skip if skip_sum is None else skip_sum + skip
+    out = (
+        jnp.dot(skip_sum, packed["end_w"],
+                preferred_element_type=jnp.float32)
+        + packed["end_b"]
+    ).astype(dt)
+    return out[:, :T].transpose(0, 2, 1)
+
+
 # ==========================================================================
 # grouping
 # ==========================================================================
@@ -353,7 +439,8 @@ def cast_params(params, dtype):
 
 
 def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
-                   sigma: float, key, dtype=None, noise=None) -> jnp.ndarray:
+                   sigma: float, key, dtype=None, noise=None,
+                   wn_impl: str = "xla") -> jnp.ndarray:
     """(B, 80, F) mel -> (B, T) audio (reference glow.py:252-293).
 
     `params` should be the remove_weightnorm form; the train form also works
@@ -370,6 +457,11 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
     (B, n_early_size, G) chunk per early output, visited k descending
     (glow.py:284-289).  Each is scaled by `sigma` here.  This is the hook
     that lets parity tests feed the exact z the reference torch model drew.
+
+    `wn_impl` selects the coupling-network implementation: 'xla' (default,
+    conv formulation), 'pallas' (fused VMEM layer kernel, ops/wn_pallas.py
+    — budget the one-off Mosaic compile per dilation variant), or
+    'pallas_interpret' (kernel semantics on the CPU interpreter, tests).
     """
     if dtype is not None:
         # 1x1 inverses stay fp32 like the reference's is_fp16 path.
@@ -403,12 +495,25 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
 
     audio = (sigma * draw((B, n_remaining, G))).astype(spect_g.dtype)
 
+    if wn_impl not in ("xla", "pallas", "pallas_interpret"):
+        raise ValueError(f"unknown wn_impl {wn_impl!r}")
+    packed = (
+        [pack_wn_pallas(cfg, wn) for wn in params["wn"]]
+        if wn_impl != "xla" else None
+    )
+
     for k in reversed(range(cfg.n_flows)):
         audio_ch = audio.shape[1]
         n_half = audio_ch // 2
         audio_0 = audio[:, :n_half]
         audio_1 = audio[:, n_half:]
-        wn_out = wn_apply(cfg, params["wn"][k], audio_0, spect_g)
+        if packed is not None:
+            wn_out = wn_apply_pallas(
+                cfg, packed[k], audio_0, spect_g,
+                interpret=(wn_impl == "pallas_interpret"),
+            )
+        else:
+            wn_out = wn_apply(cfg, params["wn"][k], audio_0, spect_g)
         s = wn_out[:, n_half:]
         b = wn_out[:, :n_half]
         audio_1 = (audio_1 - b) * jnp.exp(-s)

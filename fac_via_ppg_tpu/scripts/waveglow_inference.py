@@ -31,7 +31,7 @@ from fac_via_ppg_tpu.utils.inference import load_waveglow_model
 
 def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
          batch_size=1, sampling_rate=16000, data_parallel=False,
-         compute_dtype="float32"):
+         compute_dtype="float32", wn_impl="xla"):
     cfg = WaveGlowConfig()
     params = load_waveglow_model(waveglow_path, cfg)
     denoiser = Denoiser(cfg, params) if denoiser_strength > 0 else None
@@ -50,7 +50,8 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
 
     dtype = None if compute_dtype == "float32" else jnp.dtype(compute_dtype)
     infer = jax.jit(
-        lambda p, m, k: waveglow_infer(cfg, p, m, sigma, k, dtype=dtype)
+        lambda p, m, k: waveglow_infer(cfg, p, m, sigma, k, dtype=dtype,
+                                       wn_impl=wn_impl)
     )
     mesh = None
     if data_parallel and jax.device_count() > 1:
@@ -106,7 +107,11 @@ if __name__ == "__main__":
     parser.add_argument("--compute_dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="serving dtype (bf16: ~1.5x faster, 55 dB SNR)")
+    parser.add_argument("--wn_impl", default="xla",
+                        choices=["xla", "pallas"],
+                        help="coupling-net impl; pallas = fused VMEM kernel "
+                             "(one-off Mosaic compile per dilation)")
     args = parser.parse_args()
     main(args.filelist_path, args.waveglow_path, args.output_dir, args.sigma,
          args.denoiser_strength, args.batch_size, args.sampling_rate,
-         args.data_parallel, args.compute_dtype)
+         args.data_parallel, args.compute_dtype, args.wn_impl)

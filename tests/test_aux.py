@@ -135,14 +135,40 @@ def test_step_timer():
 def test_estimate_f0_sine(rng):
     fs = 16000
     t = np.arange(fs) / fs
-    wav = np.sin(2 * np.pi * 150 * t) * 8000
-    f0 = estimate_f0(wav, fs)
-    voiced = f0[f0 > 0]
-    assert len(voiced) > 0.8 * len(f0)
-    np.testing.assert_allclose(np.median(voiced), 150, rtol=0.03)
+    for hz in (100.0, 150.0, 333.0):
+        wav = np.sin(2 * np.pi * hz * t) * 8000
+        f0 = estimate_f0(wav, fs)
+        voiced = f0[f0 > 0]
+        assert len(voiced) > 0.8 * len(f0)
+        np.testing.assert_allclose(np.median(voiced), hz, rtol=0.005)
     # silence -> unvoiced
     f0_sil = estimate_f0(np.zeros(8000), fs)
     assert (f0_sil == 0).all()
+    # white noise -> (almost) entirely unvoiced
+    f0_noise = estimate_f0(rng.randn(16000) * 0.1, fs)
+    assert (f0_noise > 0).mean() < 0.05
+
+
+def test_estimate_f0_harmonic_no_octave_error(rng):
+    """Weak fundamental under strong harmonics — the classic failure where
+    an autocorrelation argmax halves the pitch.  YIN's first-dip rule must
+    return the true 150 Hz, not 300 or 75."""
+    fs = 16000
+    t = np.arange(fs) / fs
+    wav = (
+        0.2 * np.sin(2 * np.pi * 150 * t)
+        + 1.0 * np.sin(2 * np.pi * 300 * t)
+        + 0.8 * np.sin(2 * np.pi * 450 * t)
+    )
+    f0 = estimate_f0(wav, fs)
+    np.testing.assert_allclose(np.median(f0[f0 > 0]), 150, rtol=0.01)
+
+
+def test_estimate_f0_frame_contract():
+    fs = 16000
+    wav = np.sin(2 * np.pi * 200 * np.arange(4321) / fs)
+    f0 = estimate_f0(wav, fs, frame_shift_ms=5.0)
+    assert len(f0) == 4321 // 80 + 1  # floor(len/shift) + 1, like harvest
 
 
 def test_mel_mse():

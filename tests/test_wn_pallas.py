@@ -80,3 +80,32 @@ def test_misaligned_dilation_falls_back(layer):
     a_ref, s_ref = wn_layer_reference(**layer, dilation=2)
     a_pl, s_pl = wn_layer_pallas(**layer, dilation=2, interpret=False)
     np.testing.assert_allclose(np.asarray(a_pl), np.asarray(a_ref), atol=1e-6)
+
+
+def test_waveglow_infer_pallas_impl_matches_xla(rng):
+    """The deployable wn_impl='pallas' path (here on the interpreter) must
+    reproduce the XLA inference bit-for-bit-ish end to end, including the
+    time padding to a tile multiple."""
+    from fac_via_ppg_tpu.configs.hparams import WaveGlowConfig
+    from fac_via_ppg_tpu.models.waveglow import (
+        init_waveglow, remove_weightnorm, waveglow_infer,
+    )
+
+    cfg = WaveGlowConfig(
+        n_mel_channels=16, hop_length=32, n_flows=2, n_group=8,
+        n_early_every=4, n_early_size=2, wn_n_layers=3, wn_n_channels=32,
+        wn_kernel_size=3, upsample_kernel_size=256,
+    )
+    params = remove_weightnorm(init_waveglow(jax.random.PRNGKey(3), cfg))
+    # make the couplings non-trivial (end layers are zero-initialized)
+    for wn in params["wn"]:
+        wn["end"]["weight"] = jnp.asarray(
+            rng.randn(*np.shape(wn["end"]["weight"])) * 0.1, jnp.float32
+        )
+    mel = jnp.asarray(rng.randn(2, 16, 24), jnp.float32)  # G=96: pad to 512
+    key = jax.random.PRNGKey(7)
+    ref = waveglow_infer(cfg, params, mel, 0.8, key, wn_impl="xla")
+    out = waveglow_infer(
+        cfg, params, mel, 0.8, key, wn_impl="pallas_interpret"
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
