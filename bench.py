@@ -208,13 +208,20 @@ def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0) -> dict:
         t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps=deps,
         serving_dtype=jnp.bfloat16,
     )
+    # Steady-state THROUGHPUT: audio produced / elapsed wall clock after
+    # the first two utterances (compiles).  Summing per-utterance
+    # wall_seconds would double-count the front end, which runs overlapped
+    # on its own thread.
     with tempfile.TemporaryDirectory() as td:
         paths = _synth_wavs(td, n_utts, utt_seconds)
-        results = list(conv.run(paths))
-    # steady state: drop the first two (compiles)
-    steady = results[2:]
-    audio_s = sum(r.audio_seconds for r in steady)
-    wall_s = sum(r.wall_seconds for r in steady)
+        audio_s, n_steady, start = 0.0, 0, None
+        for i, r in enumerate(conv.run(paths)):
+            if i == 1:
+                start = time.perf_counter()
+            elif i >= 2:
+                audio_s += r.audio_seconds
+                n_steady += 1
+    wall_s = time.perf_counter() - start
     rtf = audio_s / wall_s
     return {
         "metric": "streaming_rtf",
@@ -224,7 +231,7 @@ def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0) -> dict:
         "detail": {
             "n_utts": n_utts,
             "utt_seconds": utt_seconds,
-            "steady_utts": len(steady),
+            "steady_utts": n_steady,
             "device": str(jax.devices()[0]),
         },
     }

@@ -110,7 +110,9 @@ def test_decode_module_surface(tmp_path):
     loaded = decode.read_nnet3_model(path)
     # input dim 40 (reference test_decode.py:28)
     assert loaded.input_dim == 40
-    with pytest.raises(NotImplementedError):
-        decode.read_trans_model("x")
-    with pytest.raises(NotImplementedError):
-        decode.read_den_fst("x")
+    # real parsers now (tests/test_kaldi_models.py covers them); here just
+    # the reader surface: missing files surface as FileNotFoundError
+    with pytest.raises(FileNotFoundError):
+        decode.read_trans_model(str(tmp_path / "missing.mdl"))
+    with pytest.raises(FileNotFoundError):
+        decode.read_den_fst(str(tmp_path / "missing.fst"))
