@@ -57,18 +57,26 @@ def bench_waveglow_rtf(batch: int = 16, seconds: float = 10.0,
     # The chain ends in a scalar host readback: on the tunneled TPU platform
     # block_until_ready alone has been observed returning before execution
     # completes, which would inflate the result.
+    packed_wn = None
+    if wn_impl != "xla":
+        from fac_via_ppg_tpu.models.waveglow import pack_waveglow_pallas
+
+        packed_wn = pack_waveglow_pallas(cfg, params)
+
     def measure(dtype):
         infer = jax.jit(
-            lambda p, m, k: jnp.sum(
+            lambda p, pk, m, k: jnp.sum(
                 waveglow_infer(cfg, p, m, 0.6, k, dtype=dtype,
-                               wn_impl=wn_impl).astype(jnp.float32)
+                               wn_impl=wn_impl, packed_wn=pk).astype(
+                    jnp.float32
+                )
             )
         )
         for i in range(warmup):
-            float(infer(params, mel, jax.random.PRNGKey(i)))
+            float(infer(params, packed_wn, mel, jax.random.PRNGKey(i)))
         start = time.perf_counter()
         for i in range(iters):
-            float(infer(params, mel, jax.random.PRNGKey(100 + i)))
+            float(infer(params, packed_wn, mel, jax.random.PRNGKey(100 + i)))
         elapsed = time.perf_counter() - start
         audio_seconds = iters * batch * (n_frames * cfg.hop_length) / sr
         return audio_seconds / elapsed, elapsed
@@ -196,6 +204,10 @@ def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0) -> dict:
     (front-end overlapped with device synthesis), steady state."""
     import dataclasses
     import tempfile
+
+    if n_utts < 3:
+        raise ValueError("streaming bench needs >= 3 utterances "
+                         "(first two are compile warmup)")
 
     from fac_via_ppg_tpu.eval.streaming import StreamingAccentConverter
 

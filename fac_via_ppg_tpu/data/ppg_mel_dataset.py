@@ -255,6 +255,13 @@ class EpochBatcher:
     def __init__(self, dataset, batch_size: int, seed: int, collate_fn,
                  drop_last: bool = True, shard: int = 0, num_shards: int = 1,
                  pad_to: int = 1, length_fn=None):
+        if num_shards > 1 and not drop_last:
+            # uneven shard tails would yield different batch-dim sizes per
+            # process, breaking the global-array assembly and hanging the
+            # collectives; only full batches are lockstep-safe.
+            raise ValueError(
+                "multi-shard EpochBatcher requires drop_last=True"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed

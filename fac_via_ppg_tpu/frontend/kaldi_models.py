@@ -267,7 +267,14 @@ def read_fst(path: str) -> VectorFst:
             raise KaldiIOError(
                 f"only StdVectorFst is supported, got {fsttype}/{arctype}"
             )
-        _version, _flags = struct.unpack("<ii", f.read(8))
+        _version, flags = struct.unpack("<ii", f.read(8))
+        if flags & 0x3:
+            # bit 0/1 = attached input/output SymbolTables, serialized
+            # between the header and the states — not state data.
+            raise KaldiIOError(
+                f"{path}: FSTs with embedded symbol tables are not "
+                "supported; strip them with fstcompile/fstsymbols first"
+            )
         _properties, start, numstates, _numarcs = struct.unpack(
             "<Qqqq", f.read(32)
         )

@@ -330,16 +330,19 @@ class _PraatScanner:
 
     def _next_value(self) -> str:
         while self._at < len(self._lines):
-            line = self._lines[self._at].strip()
+            raw = self._lines[self._at]
+            stripped = raw.strip()
             self._at += 1
-            if not line:
+            if not stripped:
                 continue
-            if line.startswith('"'):
-                payload = line
-            elif "=" in line:
-                payload = line.partition("=")[2].strip()
+            if stripped.startswith('"'):
+                # slice from the raw line so whitespace INSIDE a quoted
+                # value that spans lines survives verbatim
+                payload = raw[raw.index('"'):]
+            elif "=" in stripped:
+                payload = raw.partition("=")[2].lstrip()
             else:
-                payload = line
+                payload = stripped
             if payload.startswith('"'):
                 while payload.count('"') % 2:
                     if self._at >= len(self._lines):
@@ -349,6 +352,7 @@ class _PraatScanner:
                     payload += "\n" + self._lines[self._at]
                     self._at += 1
                 return payload
+            payload = payload.strip()
             try:
                 float(payload)
             except ValueError:
@@ -360,8 +364,8 @@ class _PraatScanner:
         payload = self._next_value()
         if not payload.startswith('"'):
             raise ValueError(f"expected a quoted value, got {payload!r}")
-        body = payload.strip()
-        return body[1:-1].replace('""', '"')
+        end = payload.rindex('"')  # ignore whitespace after the close quote
+        return payload[1:end].replace('""', '"')
 
     def number(self) -> float:
         payload = self._next_value()

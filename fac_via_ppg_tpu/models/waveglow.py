@@ -267,6 +267,13 @@ def pack_wn_pallas(cfg: WaveGlowConfig, wn: dict) -> dict:
     }
 
 
+def pack_waveglow_pallas(cfg: WaveGlowConfig, params: dict) -> list:
+    """Precompute every flow's packed Pallas form ONCE (outside jit) —
+    packing inside the jitted inference would re-fold/transpose the whole
+    WN weight stack on every call."""
+    return [pack_wn_pallas(cfg, wn) for wn in params["wn"]]
+
+
 def wn_apply_pallas(cfg: WaveGlowConfig, packed: dict,
                     audio_half: jnp.ndarray, spect_grouped: jnp.ndarray,
                     tile_t: int = 512, interpret: bool = False) -> jnp.ndarray:
@@ -440,7 +447,7 @@ def cast_params(params, dtype):
 
 def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
                    sigma: float, key, dtype=None, noise=None,
-                   wn_impl: str = "xla") -> jnp.ndarray:
+                   wn_impl: str = "xla", packed_wn=None) -> jnp.ndarray:
     """(B, 80, F) mel -> (B, T) audio (reference glow.py:252-293).
 
     `params` should be the remove_weightnorm form; the train form also works
@@ -497,10 +504,11 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
 
     if wn_impl not in ("xla", "pallas", "pallas_interpret"):
         raise ValueError(f"unknown wn_impl {wn_impl!r}")
-    packed = (
-        [pack_wn_pallas(cfg, wn) for wn in params["wn"]]
-        if wn_impl != "xla" else None
-    )
+    packed = None
+    if wn_impl != "xla":
+        # prefer a caller-precomputed pack (pack_waveglow_pallas) so the
+        # fold/transpose work stays out of the per-call path
+        packed = packed_wn or pack_waveglow_pallas(cfg, params)
 
     for k in reversed(range(cfg.n_flows)):
         audio_ch = audio.shape[1]

@@ -49,9 +49,14 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
     import jax.numpy as jnp
 
     dtype = None if compute_dtype == "float32" else jnp.dtype(compute_dtype)
+    packed_wn = None
+    if wn_impl != "xla":
+        from fac_via_ppg_tpu.models.waveglow import pack_waveglow_pallas
+
+        packed_wn = pack_waveglow_pallas(cfg, params)
     infer = jax.jit(
-        lambda p, m, k: waveglow_infer(cfg, p, m, sigma, k, dtype=dtype,
-                                       wn_impl=wn_impl)
+        lambda p, pk, m, k: waveglow_infer(cfg, p, m, sigma, k, dtype=dtype,
+                                           wn_impl=wn_impl, packed_wn=pk)
     )
     mesh = None
     if data_parallel and jax.device_count() > 1:
@@ -79,7 +84,7 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
                     )
                 mel_batch = jax.device_put(mel_batch, batch_sharding(mesh))
             key, sub = jax.random.split(key)
-            audio = infer(params, mel_batch, sub)[: len(chunk)]
+            audio = infer(params, packed_wn, mel_batch, sub)[: len(chunk)]
             if denoiser is not None:
                 audio = denoiser(audio, strength=denoiser_strength)[:, 0, :]
             audio = np.asarray(audio * MAX_WAV_VALUE).astype(np.int16)

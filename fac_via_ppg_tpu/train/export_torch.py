@@ -280,7 +280,10 @@ def save_reference_waveglow_checkpoint(
         "optimizer": optimizer_state if optimizer_state is not None else {},
         "learning_rate": float(learning_rate),
     }
-    if type(module).__module__ == "glow":
+    # Install the twin module for pickle's class-identity check ONLY when
+    # the module actually is the twin — a caller-supplied real glow module
+    # must keep resolving to its own classes.
+    if type(module) is _twin_glow_module().WaveGlow:
         with _pickle_as_glow():
             torch.save(payload, path)
     else:

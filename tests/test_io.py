@@ -342,3 +342,14 @@ def test_textgrid_rejects_non_praat_text():
         read_tg_from_str(
             'File type = "ooTextFile"\nObject class = "Pitch"\n\n'
         )
+
+
+def test_textgrid_multiline_mark_preserves_interior_whitespace():
+    """Whitespace at the end of a physical line INSIDE a quoted mark must
+    survive the round trip (the scanner may only trim after the close)."""
+    tg = TextGrid(maxTime=1.0)
+    tier = IntervalTier("notes", 0.0, 1.0)
+    tier.add(0.0, 1.0, "ends with spaces  \nsecond line")
+    tg.append(tier)
+    tg2 = read_tg_from_str(write_tg_to_str(tg))
+    assert tg2.getFirst("notes")[0].mark == "ends with spaces  \nsecond line"
