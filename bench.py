@@ -249,17 +249,104 @@ def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0) -> dict:
     }
 
 
+def bench_train_ppg2mel(warmup: int = 3, iters: int = 20) -> dict:
+    """BASELINE config 3: PPG2Mel training step at the paper operating
+    point (batch 6, ~4 s utterances = 400 mel frames, Adam + grad clip)."""
+    from fac_via_ppg_tpu.configs.hparams import Tacotron2Config, create_hparams
+    from fac_via_ppg_tpu.models.tacotron2 import init_tacotron2
+    from fac_via_ppg_tpu.train.optim import make_optimizer
+    from fac_via_ppg_tpu.train.step import make_tacotron2_train_step
+
+    hp = create_hparams()
+    cfg = Tacotron2Config.from_hparams(hp)
+    params, model_state = init_tacotron2(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(hp.learning_rate, hp.weight_decay,
+                               hp.grad_clip_thresh)
+    opt_state = optimizer.init(params)
+    step = make_tacotron2_train_step(cfg, optimizer, hp.mel_weight,
+                                     hp.gate_weight, donate=False)
+
+    B, t_in, t_out = 6, 400, 400
+    rng = np.random.RandomState(0)
+    ppg = jnp.asarray(np.abs(rng.rand(B, cfg.n_symbols, t_in)), jnp.float32)
+    in_len = jnp.asarray([t_in] * B, jnp.int64)
+    mel = jnp.asarray(rng.randn(B, 80, t_out) * 0.5, jnp.float32)
+    gate = jnp.zeros((B, t_out), jnp.float32)
+    out_len = jnp.asarray([t_out] * B, jnp.int64)
+    batch = (ppg, in_len, mel, gate, out_len)
+
+    for i in range(warmup):
+        out = step(params, model_state, opt_state, batch,
+                   jax.random.PRNGKey(i))
+        float(out.loss)
+    start = time.perf_counter()
+    for i in range(iters):
+        out = step(params, model_state, opt_state, batch,
+                   jax.random.PRNGKey(100 + i))
+        float(out.loss)
+    s_per_it = (time.perf_counter() - start) / iters
+    return {
+        "metric": "train_ppg2mel_step",
+        "value": round(s_per_it, 4),
+        "unit": "s_per_iter",
+        # x real time: audio seconds consumed per wall second
+        "vs_baseline": round(B * (t_out / 100.0) / s_per_it, 2),
+        "detail": {"batch": B, "frames": t_out, "iters": iters,
+                   "device": str(jax.devices()[0])},
+    }
+
+
+def bench_train_waveglow(warmup: int = 3, iters: int = 20) -> dict:
+    """BASELINE config 4: WaveGlow training step at the reference config
+    (batch 3, 10000-sample segments, sigma 0.7071)."""
+    from fac_via_ppg_tpu.configs.hparams import WaveGlowConfig
+    from fac_via_ppg_tpu.models.waveglow import init_waveglow
+    from fac_via_ppg_tpu.train.optim import make_optimizer
+    from fac_via_ppg_tpu.train.step import make_waveglow_train_step
+
+    cfg = WaveGlowConfig()
+    params = init_waveglow(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(1e-5)
+    opt_state = optimizer.init(params)
+    step = make_waveglow_train_step(cfg, optimizer, sigma=0.7071,
+                                    donate=False)
+
+    B, seg = 3, 10000
+    F = -(-seg // cfg.hop_length)  # TacotronSTFT frame count (ceil)
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(B, 80, F) * 0.5 - 5.0, jnp.float32)
+    audio = jnp.asarray(rng.randn(B, seg) * 0.1, jnp.float32)
+    batch = (mel, audio)
+
+    for _ in range(warmup):
+        float(step(params, opt_state, batch).loss)
+    start = time.perf_counter()
+    for _ in range(iters):
+        float(step(params, opt_state, batch).loss)
+    s_per_it = (time.perf_counter() - start) / iters
+    return {
+        "metric": "train_waveglow_step",
+        "value": round(s_per_it, 4),
+        "unit": "s_per_iter",
+        "vs_baseline": round(B * (seg / 16000.0) / s_per_it, 2),
+        "detail": {"batch": B, "segment": seg, "iters": iters,
+                   "device": str(jax.devices()[0])},
+    }
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="rtf",
-                        choices=["rtf", "e2e", "streaming"])
+                        choices=["rtf", "e2e", "streaming",
+                                 "train_ppg2mel", "train_waveglow"])
     parser.add_argument("--wn_impl", default="xla",
                         choices=["xla", "pallas"])
     args = parser.parse_args()
-    if args.config == "rtf":
-        result = bench_waveglow_rtf(wn_impl=args.wn_impl)
-    elif args.config == "e2e":
-        result = bench_e2e_latency()
-    else:
-        result = bench_streaming()
-    print(json.dumps(result))
+    runners = {
+        "rtf": lambda: bench_waveglow_rtf(wn_impl=args.wn_impl),
+        "e2e": bench_e2e_latency,
+        "streaming": bench_streaming,
+        "train_ppg2mel": bench_train_ppg2mel,
+        "train_waveglow": bench_train_waveglow,
+    }
+    print(json.dumps(runners[args.config]()))
