@@ -199,6 +199,48 @@ def bench_e2e_latency(utt_seconds: float = 4.0, warmup: int = 2,
     }
 
 
+def bench_e2e_fused(utt_seconds: float = 4.0, warmup: int = 2,
+                    iters: int = 5) -> dict:
+    """Config 1, single-XLA-program serving (eval/fused.py): one transfer
+    in, one readback out per utterance."""
+    import dataclasses
+    import tempfile
+
+    from fac_via_ppg_tpu.eval.fused import FusedSynthesizer
+
+    t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps = _full_size_models()
+    n_frames = int(utt_seconds * 100)
+    t2_cfg = dataclasses.replace(t2_cfg, gate_threshold=1.01)
+    synth = FusedSynthesizer(
+        t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps=deps,
+        serving_dtype=jnp.bfloat16, max_frames=n_frames,
+    )
+    with tempfile.TemporaryDirectory() as td:
+        paths = _synth_wavs(td, warmup + iters, utt_seconds)
+        lat = []
+        key = jax.random.PRNGKey(0)
+        for i, p in enumerate(paths):
+            key, sub = jax.random.split(key)
+            start = time.perf_counter()
+            pcm = synth(p, key=sub)
+            assert pcm.size
+            if i >= warmup:
+                lat.append(time.perf_counter() - start)
+    lat_s = float(np.median(lat))
+    return {
+        "metric": "e2e_latency_fused",
+        "value": round(lat_s, 3),
+        "unit": "s_per_utt",
+        "vs_baseline": round(utt_seconds / lat_s, 3),
+        "detail": {
+            "utt_seconds": utt_seconds,
+            "iters": iters,
+            "per_utt_s": [round(x, 3) for x in lat],
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
 def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0) -> dict:
     """BASELINE config 5: streaming accent conversion throughput
     (front-end overlapped with device synthesis), steady state."""
@@ -337,7 +379,7 @@ def bench_train_waveglow(warmup: int = 3, iters: int = 20) -> dict:
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="rtf",
-                        choices=["rtf", "e2e", "streaming",
+                        choices=["rtf", "e2e", "e2e_fused", "streaming",
                                  "train_ppg2mel", "train_waveglow"])
     parser.add_argument("--wn_impl", default="xla",
                         choices=["xla", "pallas"])
@@ -345,6 +387,7 @@ if __name__ == "__main__":
     runners = {
         "rtf": lambda: bench_waveglow_rtf(wn_impl=args.wn_impl),
         "e2e": bench_e2e_latency,
+        "e2e_fused": bench_e2e_fused,
         "streaming": bench_streaming,
         "train_ppg2mel": bench_train_ppg2mel,
         "train_waveglow": bench_train_waveglow,

@@ -1,0 +1,127 @@
+"""Single-program accent-conversion serving.
+
+The staged pipeline (generate_synthesis.py / eval/streaming.py) syncs the
+host between every stage: PPG readback, decoder stop-step readback, mel
+hand-off, vocoder audio readback, denoiser readback.  Stage compute is
+milliseconds; on serving hosts the round trips dominate single-utterance
+latency (measured 0.8-0.9 s of which <0.15 s is device compute).
+
+`FusedSynthesizer` compiles the whole device side into ONE XLA program —
+nnet3 AM forward -> autoregressive Tacotron2 decode -> WaveGlow ->
+spectral denoiser -> int16 PCM — so serving one utterance is exactly one
+host->device transfer (the spliced LDA features) and one device->host
+readback (PCM + produced-frame count).  The decoder's dynamic stop is
+handled with the fixed `max_frames` buffer: frames past the gate are
+log(1e-5) silence into the vocoder, and the host trims the PCM to
+`t_end * hop` samples.
+
+Reference behavior covered: generate_synthesis.py:86-98 (same operating
+point), with identical numerics to the staged path (the CPU-mesh test
+checks pointwise agreement at sigma=0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fac_via_ppg_tpu.configs.hparams import Tacotron2Config, WaveGlowConfig
+from fac_via_ppg_tpu.frontend import feat as feat_mod
+from fac_via_ppg_tpu.frontend import ppg as ppg_mod
+from fac_via_ppg_tpu.models.denoiser import Denoiser
+from fac_via_ppg_tpu.models.tacotron2 import tacotron2_inference
+from fac_via_ppg_tpu.models.waveglow import cast_params, waveglow_infer
+from fac_via_ppg_tpu.utils.numeric import round_up
+
+
+class FusedSynthesizer:
+    def __init__(
+        self,
+        t2_cfg: Tacotron2Config,
+        tacotron_params,
+        tacotron_state,
+        wg_cfg: WaveGlowConfig,
+        waveglow_params,
+        deps: Optional[ppg_mod.DependenciesPPG] = None,
+        sigma: float = 0.6,
+        denoiser_strength: float = 0.005,
+        serving_dtype=jnp.bfloat16,
+        max_frames: int = 1000,
+        feat_bucket: int = 64,
+    ):
+        self.deps = deps or ppg_mod.DependenciesPPG()
+        self.t2_cfg = dataclasses.replace(
+            t2_cfg, max_decoder_steps=max_frames
+        )
+        self.wg_cfg = wg_cfg
+        self.t2_params = tacotron_params
+        self.t2_state = tacotron_state
+        self.sigma = float(sigma)
+        self.strength = float(denoiser_strength)
+        self.serving_dtype = serving_dtype
+        self.max_frames = max_frames
+        self.feat_bucket = feat_bucket
+
+        # bias spectrum once (its own tiny one-off program)
+        den = Denoiser(wg_cfg, waveglow_params)
+        self._stft = den.stft
+        self._bias = den.bias_spec
+        if serving_dtype is not None:
+            inv = [p.get("weight_inverse") for p in waveglow_params["convinv"]]
+            waveglow_params = cast_params(waveglow_params, serving_dtype)
+            for p, w in zip(waveglow_params["convinv"], inv):
+                if w is not None:
+                    p["weight_inverse"] = w
+        self.wg_params = waveglow_params
+
+        self._fn = jax.jit(self._device_program)
+
+    def _device_program(self, t2_params, t2_state, wg_params, bias,
+                        feats, n_frames, key):
+        """(T_pad, lda_dim) features -> (int16 PCM (S,), t_end)."""
+        k_mel, k_wg = jax.random.split(key)
+        ppg = self.deps.nnet.forward(feats)            # (T_pad, n_senones)
+        x = ppg.T[None, :, :].astype(jnp.float32)      # (1, D, T_pad)
+        lengths = n_frames[None].astype(jnp.int32)
+        _, mel_post, _, _, t_end = tacotron2_inference(
+            self.t2_cfg, t2_params, t2_state, x, k_mel, lengths
+        )
+        produced = jnp.arange(self.max_frames)[None, None, :] < t_end
+        silence = jnp.float32(np.log(1e-5))
+        mel_in = jnp.where(produced, mel_post, silence)
+        audio = waveglow_infer(
+            self.wg_cfg, wg_params,
+            mel_in.astype(self.serving_dtype or jnp.float32),
+            self.sigma, k_wg,
+        ).astype(jnp.float32)                          # (1, M*hop)
+        spec, angles = self._stft.transform(audio)
+        spec = jnp.clip(spec - bias * self.strength, min=0.0)
+        denoised = self._stft.inverse(spec, angles)[:, 0, :]
+        pcm = jnp.clip(denoised[0], -1.0, 1.0) * 32767.0
+        return pcm.astype(jnp.int16), t_end
+
+    def __call__(self, wav_path: str, key=None, dither: float = 1.0,
+                 seed: int = 0) -> np.ndarray:
+        """wav file -> int16 PCM of the converted utterance."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        fs, wav = feat_mod.read_wav(wav_path)
+        feats = ppg_mod.compute_feat_for_nnet_internal(
+            wav, fs, self.deps.lda, dither=dither, seed=seed
+        )
+        t = feats.shape[0]
+        t_pad = round_up(t, self.feat_bucket)
+        if t_pad != t:
+            feats = np.concatenate(
+                [feats, np.repeat(feats[-1:], t_pad - t, axis=0)], axis=0
+            )
+        pcm, t_end = self._fn(
+            self.t2_params, self.t2_state, self.wg_params, self._bias,
+            jnp.asarray(feats, jnp.float32), jnp.int32(t), key,
+        )
+        t_end = int(t_end)
+        pcm = np.asarray(pcm)
+        return pcm[: min(t_end * self.wg_cfg.hop_length, len(pcm))]

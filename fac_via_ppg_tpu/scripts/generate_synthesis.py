@@ -51,6 +51,10 @@ def main():
                         help="Path to a native speaker recording.")
     parser.add_argument("--output_dir", type=str, required=True,
                         help="Output dir, will save the audio and log info.")
+    parser.add_argument("--fused", action="store_true",
+                        help="serve through the single-XLA-program path "
+                             "(eval/fused.py): one device round trip per "
+                             "utterance, ~5x lower latency; one-off compile")
     args = parser.parse_args()
 
     output_dir = args.output_dir
@@ -97,32 +101,43 @@ def main():
 
     deps = ppg_mod.DependenciesPPG()
     key = jax.random.PRNGKey(hparams.seed)
+    serving_dtype = (
+        None if hparams.compute_dtype == "float32"
+        else jnp.dtype(hparams.compute_dtype)
+    )
 
     if os.path.isfile(teacher_utt_path):
         logging.info("Perform AC on %s", teacher_utt_path)
-        teacher_ppg = ppg_mod.get_ppg(teacher_utt_path, deps)
-        key, k_mel, k_wg = jax.random.split(key, 3)
-        ac_mel = get_inference(
-            teacher_ppg, t2_cfg, tacotron_params, tacotron_state, k_mel,
-            is_clip,
-        )
-        serving_dtype = (
-            None if hparams.compute_dtype == "float32"
-            else jnp.dtype(hparams.compute_dtype)
-        )
-        ac_wav = waveglow_audio(
-            ac_mel, wg_cfg, waveglow_params, waveglow_sigma, k_wg,
-            dtype=serving_dtype,
-        )
-        ac_wav = np.asarray(
-            denoiser(ac_wav, strength=denoiser_strength)
-        )[0, 0]
+        if args.fused:
+            from fac_via_ppg_tpu.eval.fused import FusedSynthesizer
+
+            synth = FusedSynthesizer(
+                t2_cfg, tacotron_params, tacotron_state, wg_cfg,
+                waveglow_params, deps=deps, sigma=waveglow_sigma,
+                denoiser_strength=denoiser_strength,
+                serving_dtype=serving_dtype,
+                max_frames=t2_cfg.max_decoder_steps,
+            )
+            key, sub = jax.random.split(key)
+            pcm = synth(teacher_utt_path, key=sub)
+        else:
+            teacher_ppg = ppg_mod.get_ppg(teacher_utt_path, deps)
+            key, k_mel, k_wg = jax.random.split(key, 3)
+            ac_mel = get_inference(
+                teacher_ppg, t2_cfg, tacotron_params, tacotron_state, k_mel,
+                is_clip,
+            )
+            ac_wav = waveglow_audio(
+                ac_mel, wg_cfg, waveglow_params, waveglow_sigma, k_wg,
+                dtype=serving_dtype,
+            )
+            ac_wav = np.asarray(
+                denoiser(ac_wav, strength=denoiser_strength)
+            )[0, 0]
+            pcm = (np.clip(ac_wav, -1.0, 1.0) * 32767).astype(np.int16)
 
         output_file = os.path.join(output_dir, "ac.wav")
-        wavfile.write(
-            output_file, fs,
-            (np.clip(ac_wav, -1.0, 1.0) * 32767).astype(np.int16),
-        )
+        wavfile.write(output_file, fs, pcm)
         print("Wrote", output_file)
     else:
         logging.warning("Missing %s", teacher_utt_path)

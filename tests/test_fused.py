@@ -1,0 +1,79 @@
+"""FusedSynthesizer: the single-XLA-program serving path must agree
+pointwise with the staged pipeline (sigma=0 so the vocoder draws no
+noise whose values would depend on buffer length)."""
+
+import numpy as np
+from scipy.io import wavfile
+
+import jax
+import jax.numpy as jnp
+
+from fac_via_ppg_tpu.configs.hparams import Tacotron2Config, WaveGlowConfig
+from fac_via_ppg_tpu.eval.fused import FusedSynthesizer
+from fac_via_ppg_tpu.frontend import ppg as ppg_mod
+from fac_via_ppg_tpu.frontend.ppg import DependenciesPPG
+from fac_via_ppg_tpu.models.denoiser import Denoiser
+from fac_via_ppg_tpu.models.tacotron2 import init_tacotron2
+from fac_via_ppg_tpu.models.waveglow import init_waveglow, remove_weightnorm
+from fac_via_ppg_tpu.scripts.make_substitute_am import make_bundle
+from fac_via_ppg_tpu.utils.inference import get_inference, waveglow_audio
+
+
+def test_fused_matches_staged_pipeline(tmp_path, rng):
+    make_bundle(str(tmp_path / "bundle"), n_senones=16, n_phones=4,
+                hidden_dim=8, num_layers=1)
+    deps = DependenciesPPG(
+        nnet_path=str(tmp_path / "bundle" / "am" / "final.raw.txt"),
+        lda_path=str(tmp_path / "bundle" / "feats" / "final.mat"),
+        reduce_dim_path=str(tmp_path / "bundle" / "feats" / "reduce_dim.mat"),
+        splice_opts_path=str(tmp_path / "bundle" / "feats" / "splice_opts"),
+    )
+    t2_cfg = Tacotron2Config(
+        n_symbols=16, symbols_embedding_dim=16, encoder_embedding_dim=16,
+        decoder_rnn_dim=12, prenet_dim=8, attention_rnn_dim=12,
+        attention_dim=8, attention_location_n_filters=4,
+        attention_location_kernel_size=7, postnet_embedding_dim=16,
+        max_decoder_steps=20,
+    )
+    t2_params, t2_state = init_tacotron2(jax.random.PRNGKey(0), t2_cfg)
+    wg_cfg = WaveGlowConfig(
+        n_mel_channels=80, hop_length=160, n_flows=2, n_group=8,
+        n_early_every=4, n_early_size=2, wn_n_layers=2, wn_n_channels=16,
+        wn_kernel_size=3, upsample_kernel_size=1024,
+    )
+    wg_params = remove_weightnorm(init_waveglow(jax.random.PRNGKey(1), wg_cfg))
+
+    t = np.arange(9600) / 16000.0
+    path = str(tmp_path / "u.wav")
+    wavfile.write(path, 16000,
+                  (np.sin(2 * np.pi * 180 * t) * 9000).astype(np.int16))
+
+    key = jax.random.PRNGKey(5)
+    fused = FusedSynthesizer(
+        t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps=deps,
+        sigma=0.0, denoiser_strength=0.005, serving_dtype=None,
+        max_frames=20,
+    )
+    pcm = fused(path, key=key)
+    assert pcm.dtype == np.int16 and len(pcm) > 0
+    assert np.isfinite(pcm.astype(np.float64)).all()
+
+    # staged replay with the identical key split
+    k_mel, k_wg = jax.random.split(key)
+    ppg = ppg_mod.get_ppg(path, deps)
+    mel = get_inference(ppg, t2_cfg, t2_params, t2_state, k_mel,
+                        pad_to_frames=64)
+    audio = waveglow_audio(mel, wg_cfg, wg_params, 0.0, k_wg,
+                           pad_to_frames=100)
+    den = Denoiser(wg_cfg, wg_params)
+    staged = np.asarray(den(audio, strength=0.005))[0, 0]
+
+    # number of frames must agree (same decode), hence same trimmed length
+    n = len(pcm)
+    assert n == mel.shape[-1] * wg_cfg.hop_length or n == len(staged[:n])
+    # interior agreement: exclude STFT edges and the conv tail near the cut
+    lo, hi = 600, max(601, n - 2048)
+    np.testing.assert_allclose(
+        pcm[lo:hi] / 32767.0, staged[lo:hi], atol=2e-3,
+        err_msg="fused program diverged from the staged pipeline",
+    )

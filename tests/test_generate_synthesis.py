@@ -69,27 +69,28 @@ def test_generate_synthesis_cli_end_to_end(tmp_path, monkeypatch):
         (np.sin(2 * np.pi * 220 * t) * 9000).astype(np.int16),
     )
 
-    out_dir = str(tmp_path / "out")
     monkeypatch.setattr(gs, "create_hparams_stage", lambda **kw: hp)
     monkeypatch.setattr(gs, "WaveGlowConfig", lambda: wg_cfg)
     monkeypatch.setattr(gs.ppg_mod, "DependenciesPPG", lambda: deps)
-    monkeypatch.setattr(sys, "argv", [
-        "generate_synthesis",
-        "--ppg2mel_model", t2_path,
-        "--waveglow_model", wg_path,
-        "--teacher_utterance_path", teacher,
-        "--output_dir", out_dir,
-    ])
-    gs.main()
+    for extra in ([], ["--fused"]):
+        out_dir = str(tmp_path / ("out_fused" if extra else "out"))
+        monkeypatch.setattr(sys, "argv", [
+            "generate_synthesis",
+            "--ppg2mel_model", t2_path,
+            "--waveglow_model", wg_path,
+            "--teacher_utterance_path", teacher,
+            "--output_dir", out_dir,
+        ] + extra)
+        gs.main()
 
-    out_wav = os.path.join(out_dir, "ac.wav")
-    assert os.path.exists(out_wav), "CLI must write ac.wav"
-    fs, audio = wavfile.read(out_wav)
-    assert fs == 16000
-    assert audio.dtype == np.int16
-    assert len(audio) > 0 and np.isfinite(audio.astype(np.float64)).all()
-    assert np.abs(audio).max() > 0, "synthesized audio is all zeros"
-    assert os.path.exists(os.path.join(out_dir, "debug.log"))
+        out_wav = os.path.join(out_dir, "ac.wav")
+        assert os.path.exists(out_wav), "CLI must write ac.wav"
+        fs, audio = wavfile.read(out_wav)
+        assert fs == 16000
+        assert audio.dtype == np.int16
+        assert len(audio) > 0 and np.isfinite(audio.astype(np.float64)).all()
+        assert np.abs(audio).max() > 0, "synthesized audio is all zeros"
+        assert os.path.exists(os.path.join(out_dir, "debug.log"))
 
 
 def test_denoiser_strength_monotonic(rng):
