@@ -241,7 +241,8 @@ def bench_e2e_fused(utt_seconds: float = 4.0, warmup: int = 2,
     }
 
 
-def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0) -> dict:
+def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0,
+                    fused: bool = False) -> dict:
     """BASELINE config 5: streaming accent conversion throughput
     (front-end overlapped with device synthesis), steady state."""
     import dataclasses
@@ -260,7 +261,7 @@ def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0) -> dict:
     )
     conv = StreamingAccentConverter(
         t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps=deps,
-        serving_dtype=jnp.bfloat16,
+        serving_dtype=jnp.bfloat16, fused=fused,
     )
     # Steady-state THROUGHPUT: audio produced / elapsed wall clock after
     # the first two utterances (compiles).  Summing per-utterance
@@ -278,7 +279,7 @@ def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0) -> dict:
     wall_s = time.perf_counter() - start
     rtf = audio_s / wall_s
     return {
-        "metric": "streaming_rtf",
+        "metric": "streaming_rtf_fused" if fused else "streaming_rtf",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 1.0, 3),  # >=1 means faster than live
@@ -380,7 +381,8 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="rtf",
                         choices=["rtf", "e2e", "e2e_fused", "streaming",
-                                 "train_ppg2mel", "train_waveglow"])
+                                 "streaming_fused", "train_ppg2mel",
+                                 "train_waveglow"])
     parser.add_argument("--wn_impl", default="xla",
                         choices=["xla", "pallas"])
     args = parser.parse_args()
@@ -389,6 +391,7 @@ if __name__ == "__main__":
         "e2e": bench_e2e_latency,
         "e2e_fused": bench_e2e_fused,
         "streaming": bench_streaming,
+        "streaming_fused": lambda: bench_streaming(fused=True),
         "train_ppg2mel": bench_train_ppg2mel,
         "train_waveglow": bench_train_waveglow,
     }

@@ -104,10 +104,10 @@ class FusedSynthesizer:
         pcm = jnp.clip(denoised[0], -1.0, 1.0) * 32767.0
         return pcm.astype(jnp.int16), t_end
 
-    def __call__(self, wav_path: str, key=None, dither: float = 1.0,
-                 seed: int = 0) -> np.ndarray:
-        """wav file -> int16 PCM of the converted utterance."""
-        key = key if key is not None else jax.random.PRNGKey(0)
+    def featurize(self, wav_path: str, dither: float = 1.0,
+                  seed: int = 0):
+        """Host-side front end: wav file -> (bucket-padded AM features,
+        true frame count).  Safe to run on a worker thread."""
         fs, wav = feat_mod.read_wav(wav_path)
         feats = ppg_mod.compute_feat_for_nnet_internal(
             wav, fs, self.deps.lda, dither=dither, seed=seed
@@ -118,10 +118,21 @@ class FusedSynthesizer:
             feats = np.concatenate(
                 [feats, np.repeat(feats[-1:], t_pad - t, axis=0)], axis=0
             )
+        return feats.astype(np.float32), t
+
+    def synthesize_features(self, feats, n_frames: int, key=None) -> np.ndarray:
+        """Device side: padded features -> trimmed int16 PCM (one program)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
         pcm, t_end = self._fn(
             self.t2_params, self.t2_state, self.wg_params, self._bias,
-            jnp.asarray(feats, jnp.float32), jnp.int32(t), key,
+            jnp.asarray(feats), jnp.int32(n_frames), key,
         )
         t_end = int(t_end)
         pcm = np.asarray(pcm)
         return pcm[: min(t_end * self.wg_cfg.hop_length, len(pcm))]
+
+    def __call__(self, wav_path: str, key=None, dither: float = 1.0,
+                 seed: int = 0) -> np.ndarray:
+        """wav file -> int16 PCM of the converted utterance."""
+        feats, t = self.featurize(wav_path, dither=dither, seed=seed)
+        return self.synthesize_features(feats, t, key)

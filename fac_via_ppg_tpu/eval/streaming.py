@@ -56,7 +56,8 @@ class StreamingAccentConverter:
                  tacotron_state, wg_cfg: WaveGlowConfig, waveglow_params,
                  deps: Optional[ppg_mod.DependenciesPPG] = None,
                  sigma: float = 0.6, denoiser_strength: float = 0.005,
-                 queue_depth: int = 4, serving_dtype=None):
+                 queue_depth: int = 4, serving_dtype=None,
+                 fused: bool = False):
         self.t2_cfg = t2_cfg
         self.tacotron_params = tacotron_params
         self.tacotron_state = tacotron_state
@@ -71,9 +72,26 @@ class StreamingAccentConverter:
         self.denoiser_strength = denoiser_strength
         self.queue_depth = queue_depth
         self.serving_dtype = serving_dtype
+        self.fused = None
+        if fused:
+            # device side becomes one XLA program per utterance
+            # (eval/fused.py); the host front end still overlaps on the
+            # worker thread, feeding features instead of PPGs.
+            from fac_via_ppg_tpu.eval.fused import FusedSynthesizer
+
+            self.fused = FusedSynthesizer(
+                t2_cfg, tacotron_params, tacotron_state, wg_cfg,
+                waveglow_params, deps=self.deps, sigma=sigma,
+                denoiser_strength=denoiser_strength,
+                serving_dtype=serving_dtype,
+                max_frames=t2_cfg.max_decoder_steps,
+            )
 
     def run(self, wav_paths, key=None):
         """Yields StreamResult per utterance, with stage overlap."""
+        if self.fused is not None:
+            yield from self._run_fused(wav_paths, key)
+            return
         key = key if key is not None else jax.random.PRNGKey(0)
         feat_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
         _SENT = object()
@@ -129,6 +147,48 @@ class StreamingAccentConverter:
                 wav_path=path,
                 audio=audio,
                 audio_seconds=len(audio) / 16000.0,
+                wall_seconds=wall,
+            )
+
+    def _run_fused(self, wav_paths, key=None):
+        """Fused-device-program streaming: host featurization on a worker
+        thread, one XLA call + one readback per utterance."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        feat_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
+        _SENT = object()
+        errors = []
+
+        def frontend_worker():
+            try:
+                for path in wav_paths:
+                    t0 = time.perf_counter()
+                    feats, t = self.fused.featurize(path)
+                    feat_q.put(
+                        (path, feats, t, time.perf_counter() - t0)
+                    )
+            except BaseException as e:
+                errors.append(e)
+            finally:
+                feat_q.put(_SENT)
+
+        thread = threading.Thread(target=frontend_worker, daemon=True)
+        thread.start()
+
+        while True:
+            item = feat_q.get()
+            if item is _SENT:
+                if errors:
+                    raise errors[0]
+                return
+            path, feats, t, frontend_s = item
+            t0 = time.perf_counter()
+            key, sub = jax.random.split(key)
+            pcm = self.fused.synthesize_features(feats, t, sub)
+            wall = time.perf_counter() - t0 + frontend_s
+            yield StreamResult(
+                wav_path=path,
+                audio=pcm.astype(np.float32) / 32767.0,
+                audio_seconds=len(pcm) / 16000.0,
                 wall_seconds=wall,
             )
 

@@ -48,13 +48,14 @@ def test_streaming_pipeline(tmp_path, rng):
     )
     wg_params = remove_weightnorm(init_waveglow(jax.random.PRNGKey(1), wg_cfg))
 
-    converter = StreamingAccentConverter(
-        t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps=deps,
-        denoiser_strength=0.005,
-    )
-    results = list(converter.run(wavs))
-    assert len(results) == 2
-    for r in results:
-        assert r.audio.ndim == 1 and len(r.audio) > 0
-        assert np.isfinite(r.audio).all()
-        assert r.audio_seconds > 0 and r.wall_seconds > 0
+    for fused in (False, True):
+        converter = StreamingAccentConverter(
+            t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps=deps,
+            denoiser_strength=0.005, fused=fused,
+        )
+        results = list(converter.run(wavs))
+        assert len(results) == 2
+        for r in results:
+            assert r.audio.ndim == 1 and len(r.audio) > 0
+            assert np.isfinite(r.audio).all()
+            assert r.audio_seconds > 0 and r.wall_seconds > 0
