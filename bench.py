@@ -241,6 +241,51 @@ def bench_e2e_fused(utt_seconds: float = 4.0, warmup: int = 2,
     }
 
 
+def bench_e2e_fused_batch(batch: int = 8, utt_seconds: float = 4.0,
+                          warmup: int = 2, iters: int = 5) -> dict:
+    """Throughput serving: B utterances per fused device call (the batched
+    decoder amortizes the latency-bound autoregressive loop)."""
+    import dataclasses
+    import tempfile
+
+    from fac_via_ppg_tpu.eval.fused import FusedSynthesizer
+
+    t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps = _full_size_models()
+    n_frames = int(utt_seconds * 100)
+    t2_cfg = dataclasses.replace(t2_cfg, gate_threshold=1.01)
+    synth = FusedSynthesizer(
+        t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps=deps,
+        serving_dtype=jnp.bfloat16, max_frames=n_frames,
+    )
+    with tempfile.TemporaryDirectory() as td:
+        paths = _synth_wavs(td, batch, utt_seconds)
+        key = jax.random.PRNGKey(0)
+        for i in range(warmup):
+            key, sub = jax.random.split(key)
+            synth.synthesize_batch(paths, key=sub)
+        start = time.perf_counter()
+        audio_s = 0.0
+        for i in range(iters):
+            key, sub = jax.random.split(key)
+            outs = synth.synthesize_batch(paths, key=sub)
+            audio_s += sum(len(o) for o in outs) / 16000.0
+        elapsed = time.perf_counter() - start
+    rtf = audio_s / elapsed
+    return {
+        "metric": "e2e_fused_batch_rtf",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 1.0, 3),
+        "detail": {
+            "batch": batch,
+            "utt_seconds": utt_seconds,
+            "iters": iters,
+            "s_per_batch": round(elapsed / iters, 3),
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
 def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0,
                     fused: bool = False) -> dict:
     """BASELINE config 5: streaming accent conversion throughput
@@ -380,7 +425,8 @@ def bench_train_waveglow(warmup: int = 3, iters: int = 20) -> dict:
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="rtf",
-                        choices=["rtf", "e2e", "e2e_fused", "streaming",
+                        choices=["rtf", "e2e", "e2e_fused",
+                                 "e2e_fused_batch", "streaming",
                                  "streaming_fused", "train_ppg2mel",
                                  "train_waveglow"])
     parser.add_argument("--wn_impl", default="xla",
@@ -390,6 +436,7 @@ if __name__ == "__main__":
         "rtf": lambda: bench_waveglow_rtf(wn_impl=args.wn_impl),
         "e2e": bench_e2e_latency,
         "e2e_fused": bench_e2e_fused,
+        "e2e_fused_batch": bench_e2e_fused_batch,
         "streaming": bench_streaming,
         "streaming_fused": lambda: bench_streaming(fused=True),
         "train_ppg2mel": bench_train_ppg2mel,

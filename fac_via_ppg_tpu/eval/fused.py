@@ -33,7 +33,10 @@ from fac_via_ppg_tpu.configs.hparams import Tacotron2Config, WaveGlowConfig
 from fac_via_ppg_tpu.frontend import feat as feat_mod
 from fac_via_ppg_tpu.frontend import ppg as ppg_mod
 from fac_via_ppg_tpu.models.denoiser import Denoiser
-from fac_via_ppg_tpu.models.tacotron2 import tacotron2_inference
+from fac_via_ppg_tpu.models.tacotron2 import (
+    tacotron2_inference,
+    tacotron2_inference_batched,
+)
 from fac_via_ppg_tpu.models.waveglow import cast_params, waveglow_infer
 from fac_via_ppg_tpu.utils.numeric import round_up
 
@@ -79,6 +82,7 @@ class FusedSynthesizer:
         self.wg_params = waveglow_params
 
         self._fn = jax.jit(self._device_program)
+        self._fn_batch = jax.jit(self._device_program_batch)
 
     def _device_program(self, t2_params, t2_state, wg_params, bias,
                         feats, n_frames, key):
@@ -103,6 +107,69 @@ class FusedSynthesizer:
         denoised = self._stft.inverse(spec, angles)[:, 0, :]
         pcm = jnp.clip(denoised[0], -1.0, 1.0) * 32767.0
         return pcm.astype(jnp.int16), t_end
+
+    def _device_program_batch(self, t2_params, t2_state, wg_params, bias,
+                              feats, n_frames, key):
+        """(B, T_pad, lda_dim) -> (int16 PCM (B, M*hop), mel_lengths (B,)).
+
+        The batched decoder (per-sequence gate stopping) amortizes the
+        latency-bound autoregressive step loop over B utterances — the
+        throughput serving mode.
+        """
+        k_mel, k_wg = jax.random.split(key)
+        ppg = jax.vmap(self.deps.nnet.forward)(feats)
+        x = ppg.transpose(0, 2, 1).astype(jnp.float32)    # (B, D, T_pad)
+        lengths = n_frames.astype(jnp.int32)
+        _, mel_post, _, _, mel_lens = tacotron2_inference_batched(
+            self.t2_cfg, t2_params, t2_state, x, lengths, k_mel
+        )
+        produced = (
+            jnp.arange(self.max_frames)[None, None, :]
+            < mel_lens[:, None, None]
+        )
+        silence = jnp.float32(np.log(1e-5))
+        mel_in = jnp.where(produced, mel_post, silence)
+        audio = waveglow_infer(
+            self.wg_cfg, wg_params,
+            mel_in.astype(self.serving_dtype or jnp.float32),
+            self.sigma, k_wg,
+        ).astype(jnp.float32)                             # (B, M*hop)
+        spec, angles = self._stft.transform(audio)
+        spec = jnp.clip(spec - bias * self.strength, min=0.0)
+        denoised = self._stft.inverse(spec, angles)[:, 0, :]
+        pcm = jnp.clip(denoised, -1.0, 1.0) * 32767.0
+        return pcm.astype(jnp.int16), mel_lens
+
+    def synthesize_batch(self, wav_paths, key=None, dither: float = 1.0,
+                         seed: int = 0):
+        """wav files -> list of int16 PCM arrays, one fused device call.
+
+        All features pad to the batch's max bucket; B is whatever the
+        caller sends (one compile per (B, T_bucket) pair — group
+        same-sized requests for best reuse).
+        """
+        key = key if key is not None else jax.random.PRNGKey(0)
+        pairs = [self.featurize(p, dither=dither, seed=seed)
+                 for p in wav_paths]
+        t_max = max(f.shape[0] for f, _ in pairs)
+        feats = np.stack([
+            np.concatenate(
+                [f, np.repeat(f[-1:], t_max - f.shape[0], axis=0)], axis=0
+            ) if f.shape[0] != t_max else f
+            for f, _ in pairs
+        ])
+        n_frames = np.array([t for _, t in pairs], np.int32)
+        pcm, mel_lens = self._fn_batch(
+            self.t2_params, self.t2_state, self.wg_params, self._bias,
+            jnp.asarray(feats), jnp.asarray(n_frames), key,
+        )
+        pcm = np.asarray(pcm)
+        mel_lens = np.asarray(mel_lens)
+        hop = self.wg_cfg.hop_length
+        return [
+            pcm[i, : min(int(mel_lens[i]) * hop, pcm.shape[1])]
+            for i in range(len(wav_paths))
+        ]
 
     def featurize(self, wav_path: str, dither: float = 1.0,
                   seed: int = 0):

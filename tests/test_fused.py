@@ -77,3 +77,66 @@ def test_fused_matches_staged_pipeline(tmp_path, rng):
         pcm[lo:hi] / 32767.0, staged[lo:hi], atol=2e-3,
         err_msg="fused program diverged from the staged pipeline",
     )
+
+
+def test_fused_batch_matches_single(tmp_path, rng):
+    """synthesize_batch must reproduce per-utterance fused results (dropout
+    disabled so the always-on prenet draws can't differ with batch size;
+    sigma=0 so vocoder noise can't)."""
+    from fac_via_ppg_tpu.models import tacotron2 as t2mod
+
+    make_bundle(str(tmp_path / "bundle"), n_senones=16, n_phones=4,
+                hidden_dim=8, num_layers=1)
+    deps = DependenciesPPG(
+        nnet_path=str(tmp_path / "bundle" / "am" / "final.raw.txt"),
+        lda_path=str(tmp_path / "bundle" / "feats" / "final.mat"),
+        reduce_dim_path=str(tmp_path / "bundle" / "feats" / "reduce_dim.mat"),
+        splice_opts_path=str(tmp_path / "bundle" / "feats" / "splice_opts"),
+    )
+    t2_cfg = Tacotron2Config(
+        n_symbols=16, symbols_embedding_dim=16, encoder_embedding_dim=16,
+        decoder_rnn_dim=12, prenet_dim=8, attention_rnn_dim=12,
+        attention_dim=8, attention_location_n_filters=4,
+        attention_location_kernel_size=7, postnet_embedding_dim=16,
+        max_decoder_steps=16,
+    )
+    t2_params, t2_state = init_tacotron2(jax.random.PRNGKey(2), t2_cfg)
+    wg_cfg = WaveGlowConfig(
+        n_mel_channels=80, hop_length=160, n_flows=2, n_group=8,
+        n_early_every=4, n_early_size=2, wn_n_layers=2, wn_n_channels=16,
+        wn_kernel_size=3, upsample_kernel_size=1024,
+    )
+    wg_params = remove_weightnorm(init_waveglow(jax.random.PRNGKey(3), wg_cfg))
+
+    paths = []
+    for i, hz in enumerate((160.0, 240.0)):
+        t = np.arange(8000 + 1600 * i) / 16000.0
+        p = str(tmp_path / f"u{i}.wav")
+        wavfile.write(p, 16000,
+                      (np.sin(2 * np.pi * hz * t) * 9000).astype(np.int16))
+        paths.append(p)
+
+    synth = FusedSynthesizer(
+        t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps=deps,
+        sigma=0.0, denoiser_strength=0.005, serving_dtype=None,
+        max_frames=16,
+    )
+    key = jax.random.PRNGKey(11)
+    orig_dropout = t2mod.dropout
+    t2mod.__dict__["dropout"] = lambda key, x, rate, enabled: x
+    try:
+        batch_out = synth.synthesize_batch(paths, key=key)
+        singles = [synth(p, key=key) for p in paths]
+    finally:
+        t2mod.__dict__["dropout"] = orig_dropout
+
+    assert len(batch_out) == 2
+    for got, want in zip(batch_out, singles):
+        assert got.dtype == np.int16
+        assert len(got) == len(want), "per-sequence stop step diverged"
+        n = len(got)
+        lo, hi = 600, max(601, n - 2048)
+        np.testing.assert_allclose(
+            got[lo:hi] / 32767.0, want[lo:hi] / 32767.0, atol=2e-3,
+            err_msg="batched fused output diverged from single-utterance",
+        )
