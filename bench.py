@@ -337,9 +337,11 @@ def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0,
     }
 
 
-def bench_train_ppg2mel(warmup: int = 3, iters: int = 20) -> dict:
+def bench_train_ppg2mel(warmup: int = 3, iters: int = 20,
+                        train_dtype: str = "float32") -> dict:
     """BASELINE config 3: PPG2Mel training step at the paper operating
-    point (batch 6, ~4 s utterances = 400 mel frames, Adam + grad clip)."""
+    point (batch 6, ~4 s utterances = 400 mel frames, Adam + grad clip).
+    `--train_dtype bfloat16` measures the mixed-precision step."""
     from fac_via_ppg_tpu.configs.hparams import Tacotron2Config, create_hparams
     from fac_via_ppg_tpu.models.tacotron2 import init_tacotron2
     from fac_via_ppg_tpu.train.optim import make_optimizer
@@ -351,8 +353,11 @@ def bench_train_ppg2mel(warmup: int = 3, iters: int = 20) -> dict:
     optimizer = make_optimizer(hp.learning_rate, hp.weight_decay,
                                hp.grad_clip_thresh)
     opt_state = optimizer.init(params)
-    step = make_tacotron2_train_step(cfg, optimizer, hp.mel_weight,
-                                     hp.gate_weight, donate=False)
+    step = make_tacotron2_train_step(
+        cfg, optimizer, hp.mel_weight, hp.gate_weight, donate=False,
+        compute_dtype=(None if train_dtype == "float32"
+                       else jnp.dtype(train_dtype)),
+    )
 
     B, t_in, t_out = 6, 400, 400
     rng = np.random.RandomState(0)
@@ -380,13 +385,16 @@ def bench_train_ppg2mel(warmup: int = 3, iters: int = 20) -> dict:
         # x real time: audio seconds consumed per wall second
         "vs_baseline": round(B * (t_out / 100.0) / s_per_it, 2),
         "detail": {"batch": B, "frames": t_out, "iters": iters,
+                   "train_dtype": train_dtype,
                    "device": str(jax.devices()[0])},
     }
 
 
-def bench_train_waveglow(warmup: int = 3, iters: int = 20) -> dict:
+def bench_train_waveglow(warmup: int = 3, iters: int = 20,
+                         train_dtype: str = "float32") -> dict:
     """BASELINE config 4: WaveGlow training step at the reference config
-    (batch 3, 10000-sample segments, sigma 0.7071)."""
+    (batch 3, 10000-sample segments, sigma 0.7071).
+    `--train_dtype bfloat16` measures the mixed-precision step."""
     from fac_via_ppg_tpu.configs.hparams import WaveGlowConfig
     from fac_via_ppg_tpu.models.waveglow import init_waveglow
     from fac_via_ppg_tpu.train.optim import make_optimizer
@@ -396,8 +404,11 @@ def bench_train_waveglow(warmup: int = 3, iters: int = 20) -> dict:
     params = init_waveglow(jax.random.PRNGKey(0), cfg)
     optimizer = make_optimizer(1e-5)
     opt_state = optimizer.init(params)
-    step = make_waveglow_train_step(cfg, optimizer, sigma=0.7071,
-                                    donate=False)
+    step = make_waveglow_train_step(
+        cfg, optimizer, sigma=0.7071, donate=False,
+        compute_dtype=(None if train_dtype == "float32"
+                       else jnp.dtype(train_dtype)),
+    )
 
     B, seg = 3, 10000
     F = -(-seg // cfg.hop_length)  # TacotronSTFT frame count (ceil)
@@ -418,6 +429,7 @@ def bench_train_waveglow(warmup: int = 3, iters: int = 20) -> dict:
         "unit": "s_per_iter",
         "vs_baseline": round(B * (seg / 16000.0) / s_per_it, 2),
         "detail": {"batch": B, "segment": seg, "iters": iters,
+                   "train_dtype": train_dtype,
                    "device": str(jax.devices()[0])},
     }
 
@@ -431,6 +443,8 @@ if __name__ == "__main__":
                                  "train_waveglow"])
     parser.add_argument("--wn_impl", default="xla",
                         choices=["xla", "pallas"])
+    parser.add_argument("--train_dtype", default="float32",
+                        choices=["float32", "bfloat16"])
     args = parser.parse_args()
     runners = {
         "rtf": lambda: bench_waveglow_rtf(wn_impl=args.wn_impl),
@@ -439,7 +453,9 @@ if __name__ == "__main__":
         "e2e_fused_batch": bench_e2e_fused_batch,
         "streaming": bench_streaming,
         "streaming_fused": lambda: bench_streaming(fused=True),
-        "train_ppg2mel": bench_train_ppg2mel,
-        "train_waveglow": bench_train_waveglow,
+        "train_ppg2mel":
+            lambda: bench_train_ppg2mel(train_dtype=args.train_dtype),
+        "train_waveglow":
+            lambda: bench_train_waveglow(train_dtype=args.train_dtype),
     }
     print(json.dumps(runners[args.config]()))

@@ -124,6 +124,13 @@ _TPU_EXTENSIONS: Dict[str, Any] = {
     # is float32; the reference fp16 machinery (fp16_optimizer.py /
     # loss_scaler.py) is replaced by train/precision.py if ever needed.
     "compute_dtype": "float32",
+    # Training compute dtype ("float32" or "bfloat16"): bf16 runs the
+    # forward/backward pass in bf16 with float32 params/grads/optimizer/
+    # batch-norm stats and float32 loss reductions (train/step.py).  This
+    # replaces the reference's broken fp16 training path (README.md:53)
+    # with the TPU-native equivalent; no loss scaling is needed because
+    # bf16 shares float32's exponent range.
+    "train_dtype": "float32",
     # Number of devices along the data axis of the jax mesh ("" = all).
     "data_parallel_devices": "",
     # Devices along the 'model' mesh axis: tensor-parallel sharding of the

@@ -79,8 +79,12 @@ def _weight_norm_init(p: dict) -> dict:
 
 def _weight_norm_fold(p: dict) -> dict:
     v = p["v"]
-    norm = jnp.sqrt(jnp.sum(v**2, axis=(1, 2), keepdims=True))
-    return {"weight": p["g"][:, None, None] * v / norm, "bias": p["bias"]}
+    # Norm in float32: a bf16 sum-of-squares over C*k elements distorts the
+    # reparameterized weight under a bf16 compute policy.
+    vf = v.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(vf**2, axis=(1, 2), keepdims=True))
+    w = p["g"].astype(jnp.float32)[:, None, None] * vf / norm
+    return {"weight": w.astype(v.dtype), "bias": p["bias"]}
 
 
 def _wn_conv_apply(p: dict, x, padding=0, dilation=1):
@@ -380,12 +384,15 @@ def waveglow_forward(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
             audio_g = audio_g[:, cfg.n_early_size :]
 
         w = params["convinv"][k]["weight"]
-        _, logdet = jnp.linalg.slogdet(w)
+        # slogdet stays float32 even under a bf16 compute policy — the
+        # log-determinant enters the loss directly and an 8x8 determinant
+        # in bf16 is garbage.
+        _, logdet = jnp.linalg.slogdet(w.astype(jnp.float32))
         log_det_list.append(B * G * logdet)
         audio_g = jnp.einsum(
             "oc,bct->bot", w, audio_g,
             preferred_element_type=jnp.float32,
-        )
+        ).astype(audio_g.dtype)
 
         n_half = audio_ch // 2
         audio_0 = audio_g[:, :n_half]

@@ -158,8 +158,12 @@ def batchnorm_apply(
     and updates running stats with the unbiased variance, like torch.
     """
     if training:
-        mean = x.mean(axis=(0, 2))
-        var = ((x - mean[None, :, None]) ** 2).mean(axis=(0, 2))
+        # Batch statistics always in float32: under a bf16 compute policy a
+        # bf16 mean/var would both degrade normalization and poison the
+        # float32 running stats carried in `state`.
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=(0, 2))
+        var = ((xf - mean[None, :, None]) ** 2).mean(axis=(0, 2))
         n = x.shape[0] * x.shape[2]
         unbiased = var * n / max(n - 1, 1)
         new_state = {
@@ -169,10 +173,11 @@ def batchnorm_apply(
     else:
         mean, var = state["running_mean"], state["running_var"]
         new_state = state
-    inv = jax.lax.rsqrt(var + eps)
-    y = (x - mean[None, :, None]) * (inv * p["weight"])[None, :, None]
+    inv = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
+    scale = (inv * p["weight"].astype(jnp.float32))[None, :, None]
+    y = (x - mean.astype(x.dtype)[None, :, None]) * scale.astype(x.dtype)
     y = y + p["bias"][None, :, None]
-    return y, new_state
+    return y.astype(x.dtype), new_state
 
 
 def lstm_params(key, input_dim: int, hidden_dim: int) -> dict:

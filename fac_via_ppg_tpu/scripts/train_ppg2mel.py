@@ -26,6 +26,7 @@ import time
 from pprint import pprint
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from fac_via_ppg_tpu.configs.hparams import Tacotron2Config, create_hparams
@@ -135,8 +136,11 @@ def train(output_directory, log_directory, checkpoint_path, warm_start,
         opt_state = replicate(mesh, opt_state)
     model_state = replicate(mesh, model_state)
 
+    train_dtype = getattr(hparams, "train_dtype", "float32")
     train_step = make_tacotron2_train_step(
-        cfg, optimizer, hparams.mel_weight, hparams.gate_weight
+        cfg, optimizer, hparams.mel_weight, hparams.gate_weight,
+        compute_dtype=(None if train_dtype == "float32"
+                       else jnp.dtype(train_dtype)),
     )
     eval_step = make_tacotron2_eval_step(
         cfg, hparams.mel_weight, hparams.gate_weight

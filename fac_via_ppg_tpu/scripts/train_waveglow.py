@@ -19,6 +19,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from fac_via_ppg_tpu.configs import DEFAULT_WAVEGLOW_CONFIG_PATH
@@ -35,8 +36,13 @@ from fac_via_ppg_tpu.train.step import make_waveglow_train_step
 
 def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
           sigma, iters_per_checkpoint, batch_size, seed, checkpoint_path,
-          data_config=None, waveglow_config=None):
-    """Signature mirrors the reference train() (train_waveglow.py:66)."""
+          data_config=None, waveglow_config=None, train_dtype="float32"):
+    """Signature mirrors the reference train() (train_waveglow.py:66).
+
+    `train_dtype` is a TPU extension: "bfloat16" runs the flows' forward/
+    backward in bf16 with float32 params/optimizer/logdets/loss (see
+    train/step.py).
+    """
     del num_gpus, rank, group_name  # single-controller JAX
 
     cfg = WaveGlowConfig.from_dict(waveglow_config or {})
@@ -51,7 +57,11 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
     params = replicate(mesh, params)
     opt_state = replicate(mesh, opt_state)
 
-    step = make_waveglow_train_step(cfg, optimizer, sigma=sigma)
+    step = make_waveglow_train_step(
+        cfg, optimizer, sigma=sigma,
+        compute_dtype=(None if train_dtype == "float32"
+                       else jnp.dtype(train_dtype)),
+    )
 
     iteration = 0
     if checkpoint_path == "auto":

@@ -38,6 +38,13 @@ def tacotron2_loss(
     mel_target, gate_target = targets
     mel_out, mel_out_postnet, gate_out = model_output[0], model_output[1], \
         model_output[2]
+    # Reductions always in float32: summing millions of squared errors in a
+    # bf16 compute policy would lose the loss signal itself.
+    f32 = jnp.float32
+    mel_target, gate_target = mel_target.astype(f32), gate_target.astype(f32)
+    mel_out, mel_out_postnet, gate_out = (
+        mel_out.astype(f32), mel_out_postnet.astype(f32), gate_out.astype(f32)
+    )
     B, D, T_pad = mel_target.shape
     if output_lengths is not None:
         t_ref = jnp.maximum(jnp.max(output_lengths), 1)
@@ -56,9 +63,15 @@ def tacotron2_loss(
 def waveglow_loss(model_output, sigma: float = 1.0) -> jnp.ndarray:
     """z^2/(2 sigma^2) - sum(log_s) - sum(log_det_W), normalized by z.size."""
     z, log_s_list, log_det_w_list = model_output
-    log_s_total = sum(jnp.sum(log_s) for log_s in log_s_list)
-    log_det_total = sum(log_det_w_list)
+    # Reductions always in float32 (see tacotron2_loss).
+    zf = z.astype(jnp.float32)
+    log_s_total = sum(
+        jnp.sum(log_s.astype(jnp.float32)) for log_s in log_s_list
+    )
+    log_det_total = sum(
+        ld.astype(jnp.float32) for ld in log_det_w_list
+    )
     loss = (
-        jnp.sum(z * z) / (2 * sigma * sigma) - log_s_total - log_det_total
+        jnp.sum(zf * zf) / (2 * sigma * sigma) - log_s_total - log_det_total
     )
     return loss / (z.shape[0] * z.shape[1] * z.shape[2])

@@ -34,20 +34,44 @@ class StepOut(NamedTuple):
     grad_norm: jnp.ndarray
 
 
+def _cast_floats(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+        tree,
+    )
+
+
 def make_tacotron2_train_step(cfg: Tacotron2Config, optimizer,
                               mel_weight: float = 1.0,
                               gate_weight: float = 0.005,
-                              donate: bool = True):
+                              donate: bool = True,
+                              compute_dtype=None):
     """Returns jitted (params, model_state, opt_state, batch, key) -> StepOut.
 
     batch = (ppg_padded, input_lengths, acoustic_padded, gate_padded,
              output_lengths) — the collate layout (data_utils.py:281-334).
+
+    `compute_dtype` (e.g. jnp.bfloat16) runs the forward/backward pass in
+    that dtype while params, gradients, optimizer state, batch-norm
+    statistics and loss reductions stay float32 — the TPU replacement for
+    the reference's fp16 master-weights apparatus (fp16_optimizer.py:83-413,
+    which its own README declares broken, README.md:53).  bf16 shares
+    float32's exponent range so no loss scaling is needed: the cast
+    params -> bf16 happens INSIDE the differentiated function, so grads
+    arrive float32 through the cast's transpose.  Default None = float32.
     """
 
     def loss_fn(params, model_state, batch, key):
         ppg, in_len, mel, gate, out_len = batch
+        if compute_dtype is not None:
+            params = _cast_floats(params, compute_dtype)
+            ppg = ppg.astype(compute_dtype)
+            mel_in = mel.astype(compute_dtype)
+        else:
+            mel_in = mel
         out, new_state = tacotron2_forward(
-            cfg, params, model_state, ppg, in_len, mel, out_len, key,
+            cfg, params, model_state, ppg, in_len, mel_in, out_len, key,
             training=True,
         )
         loss = tacotron2_loss(out, (mel, gate), mel_weight, gate_weight,
@@ -85,14 +109,22 @@ def make_tacotron2_eval_step(cfg: Tacotron2Config, mel_weight: float = 1.0,
 
 
 def make_waveglow_train_step(cfg: WaveGlowConfig, optimizer, sigma: float,
-                             donate: bool = True):
+                             donate: bool = True, compute_dtype=None):
     """Returns jitted (params, opt_state, batch) -> StepOut.
 
     batch = (mel (B, 80, F), audio (B, T)).
+
+    `compute_dtype` (e.g. jnp.bfloat16) runs the flows in that dtype with
+    float32 params/grads/optimizer, float32 1x1-conv log-determinants and
+    float32 loss reductions — see make_tacotron2_train_step.
     """
 
     def loss_fn(params, batch):
         mel, audio = batch
+        if compute_dtype is not None:
+            params = _cast_floats(params, compute_dtype)
+            mel = mel.astype(compute_dtype)
+            audio = audio.astype(compute_dtype)
         out = waveglow_forward(cfg, params, mel, audio)
         return waveglow_loss(out, sigma=sigma)
 

@@ -246,3 +246,79 @@ def test_data_parallel_step_matches_single_device(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5
         )
+
+
+def test_tacotron2_bf16_train_step(rng):
+    """bf16 compute policy: float32 params/opt/BN-stats throughout, finite
+    loss tracking the float32 trajectory (train/step.py compute_dtype)."""
+    params, state = init_tacotron2(jax.random.PRNGKey(0), CFG)
+    optimizer = make_optimizer(1e-3, 1e-6, 1.0)
+    opt_state = optimizer.init(params)
+    step32 = make_tacotron2_train_step(CFG, optimizer, donate=False)
+    step16 = make_tacotron2_train_step(CFG, optimizer, donate=False,
+                                       compute_dtype=jnp.bfloat16)
+
+    batch = tuple(map(jnp.asarray, _batch(rng)))
+    key = jax.random.PRNGKey(1)
+
+    p32, s32, o32 = params, state, opt_state
+    p16, s16, o16 = params, state, opt_state
+    l32, l16 = [], []
+    for _ in range(10):
+        out = step32(p32, s32, o32, batch, key)
+        p32, s32, o32 = out.params, out.model_state, out.opt_state
+        l32.append(float(out.loss))
+        out = step16(p16, s16, o16, batch, key)
+        p16, s16, o16 = out.params, out.model_state, out.opt_state
+        l16.append(float(out.loss))
+        assert np.isfinite(l16[-1])
+
+    # everything the optimizer touches stays float32
+    for leaf in jax.tree.leaves((p16, o16, s16)):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32, leaf.dtype
+    # the bf16 trajectory tracks the float32 one and still decreases
+    assert l16[-1] < l16[0], l16
+    np.testing.assert_allclose(l16[0], l32[0], rtol=0.05)
+    np.testing.assert_allclose(l16[-1], l32[-1], rtol=0.15)
+
+
+def test_waveglow_bf16_train_step(rng):
+    """bf16 WaveGlow training: finite, decreasing, float32 state, and the
+    first-step loss agrees with float32 (logdets/reductions stay f32)."""
+    cfg = WaveGlowConfig(
+        n_mel_channels=8, hop_length=16, n_flows=4, n_group=4,
+        n_early_every=2, n_early_size=2, wn_n_layers=2, wn_n_channels=16,
+        wn_kernel_size=3, upsample_kernel_size=32,
+    )
+    params = init_waveglow(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(1e-3)
+    opt_state = optimizer.init(params)
+    step32 = make_waveglow_train_step(cfg, optimizer, sigma=0.7071,
+                                      donate=False)
+    step16 = make_waveglow_train_step(cfg, optimizer, sigma=0.7071,
+                                      donate=False,
+                                      compute_dtype=jnp.bfloat16)
+
+    mel = jnp.asarray(rng.randn(2, 8, 16), jnp.float32)
+    audio = jnp.asarray(rng.randn(2, 256) * 0.1, jnp.float32)
+
+    out32 = step32(params, opt_state, (mel, audio))
+    out16 = step16(params, opt_state, (mel, audio))
+    # The init loss is a near-zero difference of O(1) terms, so the right
+    # comparison is absolute: bf16 log_s/z rounding contributes ~3e-3.
+    np.testing.assert_allclose(
+        float(out16.loss), float(out32.loss), atol=0.02
+    )
+
+    p16, o16 = params, opt_state
+    losses = []
+    for _ in range(8):
+        out = step16(p16, o16, (mel, audio))
+        p16, o16 = out.params, out.opt_state
+        losses.append(float(out.loss))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], losses
+    for leaf in jax.tree.leaves((p16, o16)):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32, leaf.dtype
