@@ -157,7 +157,7 @@ def prenet_apply(p: dict, x: jnp.ndarray, key) -> jnp.ndarray:
 
 
 def encoder_apply(params, state, ppg, input_lengths, key, training: bool,
-                  mask_convs: bool = False):
+                  mask_convs: bool = False, unroll: int = 1):
     """(B, n_symbols, T_in) -> memory (B, T_in, E), new encoder state.
 
     `mask_convs` zeroes activations beyond each sequence's length before
@@ -191,7 +191,8 @@ def encoder_apply(params, state, ppg, input_lengths, key, training: bool,
         x = dropout(kd, jax.nn.relu(x), 0.5, training)
 
     x = x.transpose(0, 2, 1)  # (B, T, E)
-    memory = bidirectional_lstm(p["lstm_fwd"], p["lstm_bwd"], x, input_lengths)
+    memory = bidirectional_lstm(p["lstm_fwd"], p["lstm_bwd"], x,
+                                input_lengths, unroll=unroll)
     return memory, {"convolutions": new_bn}
 
 
@@ -333,7 +334,8 @@ def tacotron2_forward(
     B, _, T_out = mel_targets.shape
     key, k_enc = jax.random.split(key)
     memory, enc_state = encoder_apply(
-        params, state, ppg_padded, input_lengths, k_enc, training
+        params, state, ppg_padded, input_lengths, k_enc, training,
+        unroll=cfg.scan_unroll,
     )
     processed_memory = linear_apply(
         params["decoder"]["attention"]["memory"], memory
@@ -363,6 +365,7 @@ def tacotron2_forward(
     (_, _), (mels, gates, aligns) = jax.lax.scan(
         step, (ds, k_scan),
         (jnp.arange(T_out), dec_in.transpose(1, 0, 2)),
+        unroll=cfg.scan_unroll,
     )
     mel_out = mels.transpose(1, 2, 0)        # (B, 80, T_out)
     gate_out = gates.transpose(1, 0)         # (B, T_out)
@@ -419,7 +422,8 @@ def tacotron2_inference(
         input_lengths = jnp.full((B,), T_in, jnp.int32)
     key, k_enc = jax.random.split(key)
     memory, _ = encoder_apply(params, state, ppg, input_lengths, k_enc,
-                              training=False, mask_convs=True)
+                              training=False, mask_convs=True,
+                              unroll=cfg.scan_unroll)
     processed_memory = linear_apply(
         params["decoder"]["attention"]["memory"], memory
     )
@@ -490,7 +494,8 @@ def tacotron2_inference_batched(
     B, _, T_in = ppg.shape
     key, k_enc = jax.random.split(key)
     memory, _ = encoder_apply(params, state, ppg, input_lengths, k_enc,
-                              training=False, mask_convs=True)
+                              training=False, mask_convs=True,
+                              unroll=cfg.scan_unroll)
     processed_memory = linear_apply(
         params["decoder"]["attention"]["memory"], memory
     )

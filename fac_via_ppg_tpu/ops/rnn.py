@@ -15,12 +15,16 @@ import jax.numpy as jnp
 from fac_via_ppg_tpu.ops.initializers import lstm_cell
 
 
-def unidirectional_lstm(params: dict, xs: jnp.ndarray, lengths=None):
+def unidirectional_lstm(params: dict, xs: jnp.ndarray, lengths=None,
+                        unroll: int = 1):
     """(B, T, D) -> (B, T, H) LSTM outputs, zeroed past `lengths`.
 
     When `lengths` is given the carried state freezes at each sequence's end
     (equivalent to pack_padded: padding never contaminates the state) and
     outputs at padding positions are 0 (equivalent to pad_packed).
+
+    `unroll` feeds lax.scan's unroll factor (identical semantics, fewer
+    loop iterations — measured ~9% faster Tacotron2 training steps at 4).
     """
     B, T, _ = xs.shape
     H = params["weight_hh"].shape[1]
@@ -42,12 +46,12 @@ def unidirectional_lstm(params: dict, xs: jnp.ndarray, lengths=None):
     else:
         valid = (jnp.arange(T)[:, None] < lengths[None, :])
     xs_t = xs.transpose(1, 0, 2)  # scan over time
-    _, outs = jax.lax.scan(step, (h0, c0), (xs_t, valid))
+    _, outs = jax.lax.scan(step, (h0, c0), (xs_t, valid), unroll=unroll)
     return outs.transpose(1, 0, 2)
 
 
 def bidirectional_lstm(fwd_params: dict, bwd_params: dict, xs: jnp.ndarray,
-                       lengths=None):
+                       lengths=None, unroll: int = 1):
     """(B, T, D) -> (B, T, 2H) with per-sequence-length-aware reversal.
 
     The backward direction runs on each sequence reversed within its own
@@ -55,17 +59,17 @@ def bidirectional_lstm(fwd_params: dict, bwd_params: dict, xs: jnp.ndarray,
     backward state starts fresh at each sequence's true end.
     """
     B, T, _ = xs.shape
-    out_f = unidirectional_lstm(fwd_params, xs, lengths)
+    out_f = unidirectional_lstm(fwd_params, xs, lengths, unroll=unroll)
 
     if lengths is None:
         rev = jnp.flip(xs, axis=1)
-        out_b = unidirectional_lstm(bwd_params, rev, None)
+        out_b = unidirectional_lstm(bwd_params, rev, None, unroll=unroll)
         out_b = jnp.flip(out_b, axis=1)
     else:
         t_idx = jnp.arange(T)[None, :]
         rev_idx = jnp.clip(lengths[:, None] - 1 - t_idx, 0, T - 1)
         rev = jnp.take_along_axis(xs, rev_idx[:, :, None], axis=1)
-        out_rev = unidirectional_lstm(bwd_params, rev, lengths)
+        out_rev = unidirectional_lstm(bwd_params, rev, lengths, unroll=unroll)
         # map back: position t (original) <- rev position len-1-t
         out_b = jnp.take_along_axis(out_rev, rev_idx[:, :, None], axis=1)
         out_b = jnp.where((t_idx < lengths[:, None])[:, :, None], out_b, 0.0)
