@@ -445,12 +445,15 @@ if __name__ == "__main__":
                         choices=["xla", "pallas"])
     parser.add_argument("--train_dtype", default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--batch", type=int, default=8,
+                        help="utterances per fused call (e2e_fused_batch)")
     args = parser.parse_args()
     runners = {
         "rtf": lambda: bench_waveglow_rtf(wn_impl=args.wn_impl),
         "e2e": bench_e2e_latency,
         "e2e_fused": bench_e2e_fused,
-        "e2e_fused_batch": bench_e2e_fused_batch,
+        "e2e_fused_batch":
+            lambda: bench_e2e_fused_batch(batch=args.batch),
         "streaming": bench_streaming,
         "streaming_fused": lambda: bench_streaming(fused=True),
         "train_ppg2mel":

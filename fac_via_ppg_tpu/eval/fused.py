@@ -38,6 +38,7 @@ from fac_via_ppg_tpu.models.tacotron2 import (
     tacotron2_inference_batched,
 )
 from fac_via_ppg_tpu.models.waveglow import cast_params, waveglow_infer
+from fac_via_ppg_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from fac_via_ppg_tpu.utils.numeric import round_up
 
 
@@ -55,7 +56,16 @@ class FusedSynthesizer:
         serving_dtype=jnp.bfloat16,
         max_frames: int = 1000,
         feat_bucket: int = 64,
+        data_parallel: bool = False,
     ):
+        """`data_parallel=True` spreads `synthesize_batch` over every chip:
+        params replicate onto a 1-D 'data' mesh, the utterance batch is
+        sharded on its leading axis, and GSPMD partitions the one fused
+        program (the batched decoder's all-done stop check becomes an ICI
+        all-reduce).  Batches that don't divide the mesh are padded with
+        repeats and trimmed after.  Multi-chip throughput serving — a
+        capability the reference's single-GPU serve path lacks
+        (generate_synthesis.py:86-98)."""
         self.deps = deps or ppg_mod.DependenciesPPG()
         self.t2_cfg = dataclasses.replace(
             t2_cfg, max_decoder_steps=max_frames
@@ -80,6 +90,14 @@ class FusedSynthesizer:
                 if w is not None:
                     p["weight_inverse"] = w
         self.wg_params = waveglow_params
+
+        self.mesh = None
+        if data_parallel:
+            self.mesh = make_mesh(model=1)
+            self.t2_params = replicate(self.mesh, self.t2_params)
+            self.t2_state = replicate(self.mesh, self.t2_state)
+            self.wg_params = replicate(self.mesh, self.wg_params)
+            self._bias = replicate(self.mesh, self._bias)
 
         self._fn = jax.jit(self._device_program)
         self._fn_batch = jax.jit(self._device_program_batch)
@@ -159,9 +177,23 @@ class FusedSynthesizer:
             for f, _ in pairs
         ])
         n_frames = np.array([t for _, t in pairs], np.int32)
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            b_pad = round_up(len(pairs), n_dev)
+            if b_pad != len(pairs):
+                reps = b_pad - len(pairs)
+                feats = np.concatenate(
+                    [feats, np.repeat(feats[-1:], reps, axis=0)], axis=0
+                )
+                n_frames = np.concatenate(
+                    [n_frames, np.repeat(n_frames[-1:], reps)], axis=0
+                )
+            feats, n_frames = shard_batch(self.mesh, (feats, n_frames))
+        else:
+            feats, n_frames = jnp.asarray(feats), jnp.asarray(n_frames)
         pcm, mel_lens = self._fn_batch(
             self.t2_params, self.t2_state, self.wg_params, self._bias,
-            jnp.asarray(feats), jnp.asarray(n_frames), key,
+            feats, n_frames, key,
         )
         pcm = np.asarray(pcm)
         mel_lens = np.asarray(mel_lens)

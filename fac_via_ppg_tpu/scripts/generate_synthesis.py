@@ -55,6 +55,13 @@ def main():
                         help="serve through the single-XLA-program path "
                              "(eval/fused.py): one device round trip per "
                              "utterance, ~5x lower latency; one-off compile")
+    parser.add_argument("--batch_size", type=int, default=8,
+                        help="utterances per fused device call when "
+                             "--teacher_utterance_path is a directory or "
+                             ".txt filelist (throughput serving)")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard fused batches over every chip on the "
+                             "'data' mesh axis (multi-chip serving)")
     args = parser.parse_args()
 
     output_dir = args.output_dir
@@ -106,6 +113,44 @@ def main():
         else jnp.dtype(hparams.compute_dtype)
     )
 
+    # Batch serving extension (beyond the reference's single-file surface,
+    # generate_synthesis.py:86-98): a directory of wavs or a .txt filelist
+    # converts through the batched fused program, optionally sharded over
+    # the chip mesh with --data_parallel.
+    batch_paths = None
+    if os.path.isdir(teacher_utt_path):
+        batch_paths = sorted(
+            os.path.join(teacher_utt_path, f)
+            for f in os.listdir(teacher_utt_path) if f.endswith(".wav")
+        )
+    elif teacher_utt_path.endswith(".txt") and os.path.isfile(teacher_utt_path):
+        with open(teacher_utt_path) as f:
+            batch_paths = [ln.strip() for ln in f if ln.strip()]
+
+    if batch_paths is not None:
+        from fac_via_ppg_tpu.eval.fused import FusedSynthesizer
+
+        logging.info("Batch AC on %d utterances", len(batch_paths))
+        synth = FusedSynthesizer(
+            t2_cfg, tacotron_params, tacotron_state, wg_cfg,
+            waveglow_params, deps=deps, sigma=waveglow_sigma,
+            denoiser_strength=denoiser_strength,
+            serving_dtype=serving_dtype,
+            max_frames=t2_cfg.max_decoder_steps,
+            data_parallel=args.data_parallel,
+        )
+        for start in range(0, len(batch_paths), args.batch_size):
+            chunk = batch_paths[start : start + args.batch_size]
+            key, sub = jax.random.split(key)
+            pcms = synth.synthesize_batch(chunk, key=sub)
+            for p, pcm in zip(chunk, pcms):
+                name = os.path.splitext(os.path.basename(p))[0]
+                out = os.path.join(output_dir, f"ac_{name}.wav")
+                wavfile.write(out, fs, pcm)
+                print("Wrote", out)
+        logging.info("Done!")
+        return
+
     if os.path.isfile(teacher_utt_path):
         logging.info("Perform AC on %s", teacher_utt_path)
         if args.fused:
@@ -117,6 +162,7 @@ def main():
                 denoiser_strength=denoiser_strength,
                 serving_dtype=serving_dtype,
                 max_frames=t2_cfg.max_decoder_steps,
+                data_parallel=args.data_parallel,
             )
             key, sub = jax.random.split(key)
             pcm = synth(teacher_utt_path, key=sub)
