@@ -241,10 +241,12 @@ def bench_e2e_fused(utt_seconds: float = 4.0, warmup: int = 2,
     }
 
 
-def bench_e2e_fused_batch(batch: int = 8, utt_seconds: float = 4.0,
+def bench_e2e_fused_batch(batch: int = 24, utt_seconds: float = 4.0,
                           warmup: int = 2, iters: int = 5) -> dict:
     """Throughput serving: B utterances per fused device call (the batched
-    decoder amortizes the latency-bound autoregressive loop)."""
+    decoder amortizes the latency-bound autoregressive loop).  B=24 is the
+    measured single-chip optimum: 121/105/133/138/129/131/29 x RT at
+    B=8/16/20/24/28/32/64 (B=64 spills)."""
     import dataclasses
     import tempfile
 
@@ -287,15 +289,17 @@ def bench_e2e_fused_batch(batch: int = 8, utt_seconds: float = 4.0,
 
 
 def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0,
-                    fused: bool = False) -> dict:
+                    fused: bool = False, batch: int = 1,
+                    frontend_threads: int = 1) -> dict:
     """BASELINE config 5: streaming accent conversion throughput
-    (front-end overlapped with device synthesis), steady state."""
+    (front-end overlapped with device synthesis), steady state.
+    `batch` > 1 micro-batches the fused device calls (throughput mode)."""
     import dataclasses
     import tempfile
 
-    if n_utts < 3:
-        raise ValueError("streaming bench needs >= 3 utterances "
-                         "(first two are compile warmup)")
+    warm = 2 * batch  # first micro-batches pay the compiles
+    if n_utts < warm + batch:
+        n_utts = warm + 3 * batch
 
     from fac_via_ppg_tpu.eval.streaming import StreamingAccentConverter
 
@@ -306,19 +310,20 @@ def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0,
     )
     conv = StreamingAccentConverter(
         t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps=deps,
-        serving_dtype=jnp.bfloat16, fused=fused,
+        serving_dtype=jnp.bfloat16, fused=fused, batch_size=batch,
+        frontend_threads=frontend_threads,
     )
     # Steady-state THROUGHPUT: audio produced / elapsed wall clock after
-    # the first two utterances (compiles).  Summing per-utterance
+    # the warmup utterances (compiles).  Summing per-utterance
     # wall_seconds would double-count the front end, which runs overlapped
     # on its own thread.
     with tempfile.TemporaryDirectory() as td:
         paths = _synth_wavs(td, n_utts, utt_seconds)
         audio_s, n_steady, start = 0.0, 0, None
         for i, r in enumerate(conv.run(paths)):
-            if i == 1:
+            if i == warm - 1:
                 start = time.perf_counter()
-            elif i >= 2:
+            elif i >= warm:
                 audio_s += r.audio_seconds
                 n_steady += 1
     wall_s = time.perf_counter() - start
@@ -332,6 +337,8 @@ def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0,
             "n_utts": n_utts,
             "utt_seconds": utt_seconds,
             "steady_utts": n_steady,
+            "batch": batch,
+            "frontend_threads": frontend_threads,
             "device": str(jax.devices()[0]),
         },
     }
@@ -445,17 +452,23 @@ if __name__ == "__main__":
                         choices=["xla", "pallas"])
     parser.add_argument("--train_dtype", default="float32",
                         choices=["float32", "bfloat16"])
-    parser.add_argument("--batch", type=int, default=8,
-                        help="utterances per fused call (e2e_fused_batch)")
+    parser.add_argument("--batch", type=int, default=None,
+                        help="utterances per fused call (e2e_fused_batch, "
+                             "default 24; streaming_fused micro-batch, "
+                             "default 1)")
+    parser.add_argument("--frontend_threads", type=int, default=1,
+                        help="host front-end worker threads (streaming)")
     args = parser.parse_args()
     runners = {
         "rtf": lambda: bench_waveglow_rtf(wn_impl=args.wn_impl),
         "e2e": bench_e2e_latency,
         "e2e_fused": bench_e2e_fused,
         "e2e_fused_batch":
-            lambda: bench_e2e_fused_batch(batch=args.batch),
+            lambda: bench_e2e_fused_batch(batch=args.batch or 24),
         "streaming": bench_streaming,
-        "streaming_fused": lambda: bench_streaming(fused=True),
+        "streaming_fused": lambda: bench_streaming(
+            fused=True, batch=args.batch or 1,
+            frontend_threads=args.frontend_threads),
         "train_ppg2mel":
             lambda: bench_train_ppg2mel(train_dtype=args.train_dtype),
         "train_waveglow":

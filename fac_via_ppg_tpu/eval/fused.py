@@ -169,6 +169,17 @@ class FusedSynthesizer:
         key = key if key is not None else jax.random.PRNGKey(0)
         pairs = [self.featurize(p, dither=dither, seed=seed)
                  for p in wav_paths]
+        return self.synthesize_feature_pairs(pairs, key)
+
+    def synthesize_feature_pairs(self, pairs, key=None,
+                                 pad_batch_to: Optional[int] = None):
+        """(featurized, n_frames) pairs -> list of int16 PCM arrays, one
+        fused device call.  `pad_batch_to` pads the batch dimension with
+        repeats (outputs trimmed) so a partially-filled micro-batch reuses
+        the full-batch compiled program instead of compiling a new shape.
+        """
+        key = key if key is not None else jax.random.PRNGKey(0)
+        n_real = len(pairs)
         t_max = max(f.shape[0] for f, _ in pairs)
         feats = np.stack([
             np.concatenate(
@@ -177,17 +188,20 @@ class FusedSynthesizer:
             for f, _ in pairs
         ])
         n_frames = np.array([t for _, t in pairs], np.int32)
+        b_pad = len(pairs)
+        if pad_batch_to is not None:
+            b_pad = max(b_pad, pad_batch_to)
         if self.mesh is not None:
-            n_dev = self.mesh.devices.size
-            b_pad = round_up(len(pairs), n_dev)
-            if b_pad != len(pairs):
-                reps = b_pad - len(pairs)
-                feats = np.concatenate(
-                    [feats, np.repeat(feats[-1:], reps, axis=0)], axis=0
-                )
-                n_frames = np.concatenate(
-                    [n_frames, np.repeat(n_frames[-1:], reps)], axis=0
-                )
+            b_pad = round_up(b_pad, self.mesh.devices.size)
+        if b_pad != len(pairs):
+            reps = b_pad - len(pairs)
+            feats = np.concatenate(
+                [feats, np.repeat(feats[-1:], reps, axis=0)], axis=0
+            )
+            n_frames = np.concatenate(
+                [n_frames, np.repeat(n_frames[-1:], reps)], axis=0
+            )
+        if self.mesh is not None:
             feats, n_frames = shard_batch(self.mesh, (feats, n_frames))
         else:
             feats, n_frames = jnp.asarray(feats), jnp.asarray(n_frames)
@@ -200,7 +214,7 @@ class FusedSynthesizer:
         hop = self.wg_cfg.hop_length
         return [
             pcm[i, : min(int(mel_lens[i]) * hop, pcm.shape[1])]
-            for i in range(len(wav_paths))
+            for i in range(n_real)
         ]
 
     def featurize(self, wav_path: str, dither: float = 1.0,

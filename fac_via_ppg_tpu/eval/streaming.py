@@ -57,7 +57,8 @@ class StreamingAccentConverter:
                  deps: Optional[ppg_mod.DependenciesPPG] = None,
                  sigma: float = 0.6, denoiser_strength: float = 0.005,
                  queue_depth: int = 4, serving_dtype=None,
-                 fused: bool = False):
+                 fused: bool = False, batch_size: int = 1,
+                 frontend_threads: int = 1, data_parallel: bool = False):
         self.t2_cfg = t2_cfg
         self.tacotron_params = tacotron_params
         self.tacotron_state = tacotron_state
@@ -70,13 +71,19 @@ class StreamingAccentConverter:
             if denoiser_strength > 0 else None
         )
         self.denoiser_strength = denoiser_strength
-        self.queue_depth = queue_depth
+        self.queue_depth = max(queue_depth, 2 * batch_size)
         self.serving_dtype = serving_dtype
+        self.batch_size = batch_size
+        self.frontend_threads = frontend_threads
         self.fused = None
         if fused:
             # device side becomes one XLA program per utterance
             # (eval/fused.py); the host front end still overlaps on the
-            # worker thread, feeding features instead of PPGs.
+            # worker thread, feeding features instead of PPGs.  With
+            # batch_size > 1 the consumer drains up to that many
+            # featurized utterances per fused call (micro-batching: the
+            # latency-bound decode loop is amortized over the batch), and
+            # data_parallel shards those batches over every chip.
             from fac_via_ppg_tpu.eval.fused import FusedSynthesizer
 
             self.fused = FusedSynthesizer(
@@ -85,6 +92,11 @@ class StreamingAccentConverter:
                 denoiser_strength=denoiser_strength,
                 serving_dtype=serving_dtype,
                 max_frames=t2_cfg.max_decoder_steps,
+                data_parallel=data_parallel,
+            )
+        elif batch_size > 1 or data_parallel:
+            raise ValueError(
+                "batch_size > 1 / data_parallel require fused=True"
             )
 
     def run(self, wav_paths, key=None):
@@ -151,16 +163,30 @@ class StreamingAccentConverter:
             )
 
     def _run_fused(self, wav_paths, key=None):
-        """Fused-device-program streaming: host featurization on a worker
-        thread, one XLA call + one readback per utterance."""
+        """Fused-device-program streaming: host featurization on worker
+        thread(s), one XLA call + one readback per micro-batch of
+        `batch_size` utterances (1 = per utterance).  Micro-batches block
+        until full (the stream tail flushes partial, padded to the
+        compiled batch shape) — a throughput mode; for lowest
+        per-utterance latency use batch_size=1."""
         key = key if key is not None else jax.random.PRNGKey(0)
         feat_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
+        path_q: queue.Queue = queue.Queue()
+        for p in wav_paths:
+            path_q.put(p)
         _SENT = object()
         errors = []
+        n_workers = max(1, self.frontend_threads)
+        live = [n_workers]
+        live_lock = threading.Lock()
 
         def frontend_worker():
             try:
-                for path in wav_paths:
+                while True:
+                    try:
+                        path = path_q.get_nowait()
+                    except queue.Empty:
+                        break
                     t0 = time.perf_counter()
                     feats, t = self.fused.featurize(path)
                     feat_q.put(
@@ -169,28 +195,59 @@ class StreamingAccentConverter:
             except BaseException as e:
                 errors.append(e)
             finally:
-                feat_q.put(_SENT)
+                with live_lock:
+                    live[0] -= 1
+                    if live[0] == 0:
+                        feat_q.put(_SENT)
 
-        thread = threading.Thread(target=frontend_worker, daemon=True)
-        thread.start()
+        for _ in range(n_workers):
+            threading.Thread(target=frontend_worker, daemon=True).start()
+
+        pending = []
+
+        def flush():
+            nonlocal key, pending
+            batch, pending = pending, []
+            t0 = time.perf_counter()
+            key, sub = jax.random.split(key)
+            pcms = self.fused.synthesize_feature_pairs(
+                [(feats, t) for _, feats, t, _ in batch], sub,
+                pad_batch_to=self.batch_size,
+            )
+            device_s = (time.perf_counter() - t0) / len(batch)
+            for (path, _, _, frontend_s), pcm in zip(batch, pcms):
+                yield StreamResult(
+                    wav_path=path,
+                    audio=pcm.astype(np.float32) / 32767.0,
+                    audio_seconds=len(pcm) / 16000.0,
+                    wall_seconds=device_s + frontend_s,
+                )
 
         while True:
             item = feat_q.get()
             if item is _SENT:
+                if pending:
+                    yield from flush()
                 if errors:
                     raise errors[0]
                 return
-            path, feats, t, frontend_s = item
-            t0 = time.perf_counter()
-            key, sub = jax.random.split(key)
-            pcm = self.fused.synthesize_features(feats, t, sub)
-            wall = time.perf_counter() - t0 + frontend_s
-            yield StreamResult(
-                wav_path=path,
-                audio=pcm.astype(np.float32) / 32767.0,
-                audio_seconds=len(pcm) / 16000.0,
-                wall_seconds=wall,
-            )
+            if self.batch_size == 1:
+                # single-utterance program (scalar stop step readback):
+                # the lowest-latency path, unchanged from before
+                path, feats, t, frontend_s = item
+                t0 = time.perf_counter()
+                key, sub = jax.random.split(key)
+                pcm = self.fused.synthesize_features(feats, t, sub)
+                yield StreamResult(
+                    wav_path=path,
+                    audio=pcm.astype(np.float32) / 32767.0,
+                    audio_seconds=len(pcm) / 16000.0,
+                    wall_seconds=time.perf_counter() - t0 + frontend_s,
+                )
+                continue
+            pending.append(item)
+            if len(pending) >= self.batch_size:
+                yield from flush()
 
 
 def main():
@@ -206,6 +263,15 @@ def main():
     parser.add_argument("--compute_dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="WaveGlow serving dtype (bf16: ~1.5x faster)")
+    parser.add_argument("--fused", action="store_true",
+                        help="single-XLA-program device side (eval/fused.py)")
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help="fused micro-batch: utterances per device call "
+                             "(throughput mode; needs --fused)")
+    parser.add_argument("--frontend_threads", type=int, default=1,
+                        help="host front-end worker threads")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard fused micro-batches over all chips")
     args = parser.parse_args()
 
     hparams = create_hparams_stage()
@@ -225,6 +291,9 @@ def main():
         sigma=args.sigma, denoiser_strength=args.denoiser_strength,
         serving_dtype=(None if args.compute_dtype == "float32"
                        else jnp.dtype(args.compute_dtype)),
+        fused=args.fused, batch_size=args.batch_size,
+        frontend_threads=args.frontend_threads,
+        data_parallel=args.data_parallel,
     )
     total_audio = total_wall = 0.0
     steady_audio = steady_wall = 0.0

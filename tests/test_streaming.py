@@ -59,3 +59,58 @@ def test_streaming_pipeline(tmp_path, rng):
             assert r.audio.ndim == 1 and len(r.audio) > 0
             assert np.isfinite(r.audio).all()
             assert r.audio_seconds > 0 and r.wall_seconds > 0
+
+
+def test_streaming_micro_batched(tmp_path, rng):
+    """Micro-batched fused streaming (batch_size=3 over 5 utts: one full
+    batch + a padded partial flush), multi-threaded front end."""
+    wavs = []
+    for i in range(5):
+        t = np.arange(4800 + 320 * i) / 16000.0
+        wav = (np.sin(2 * np.pi * (180 + 30 * i) * t) * 9000).astype(np.int16)
+        p = str(tmp_path / f"u{i}.wav")
+        wavfile.write(p, 16000, wav)
+        wavs.append(p)
+
+    make_bundle(str(tmp_path / "bundle"), n_senones=16, n_phones=4,
+                hidden_dim=8, num_layers=1)
+    deps = DependenciesPPG(
+        nnet_path=str(tmp_path / "bundle" / "am" / "final.raw.txt"),
+        lda_path=str(tmp_path / "bundle" / "feats" / "final.mat"),
+        reduce_dim_path=str(tmp_path / "bundle" / "feats" / "reduce_dim.mat"),
+        splice_opts_path=str(tmp_path / "bundle" / "feats" / "splice_opts"),
+    )
+    t2_cfg = Tacotron2Config(
+        n_symbols=16, symbols_embedding_dim=16, encoder_embedding_dim=16,
+        decoder_rnn_dim=12, prenet_dim=8, attention_rnn_dim=12,
+        attention_dim=8, attention_location_n_filters=4,
+        attention_location_kernel_size=7, postnet_embedding_dim=16,
+        max_decoder_steps=20,
+    )
+    t2_params, t2_state = init_tacotron2(jax.random.PRNGKey(0), t2_cfg)
+    wg_cfg = WaveGlowConfig(
+        n_mel_channels=80, hop_length=160, n_flows=2, n_group=8,
+        n_early_every=4, n_early_size=2, wn_n_layers=2, wn_n_channels=16,
+        wn_kernel_size=3, upsample_kernel_size=1024,
+    )
+    wg_params = remove_weightnorm(init_waveglow(jax.random.PRNGKey(1), wg_cfg))
+
+    converter = StreamingAccentConverter(
+        t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps=deps,
+        denoiser_strength=0.005, fused=True, batch_size=3,
+        frontend_threads=2,
+    )
+    results = list(converter.run(wavs))
+    assert len(results) == 5
+    assert sorted(r.wav_path for r in results) == sorted(wavs)
+    for r in results:
+        assert r.audio.ndim == 1 and len(r.audio) > 0
+        assert np.isfinite(r.audio).all()
+        assert r.audio_seconds > 0 and r.wall_seconds > 0
+
+    # guard: micro-batching requires the fused path
+    with pytest.raises(ValueError):
+        StreamingAccentConverter(
+            t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps=deps,
+            fused=False, batch_size=2,
+        )
