@@ -36,7 +36,8 @@ class Denoiser:
                 sub, (1, cfg.n_mel_channels, 88), jnp.float32
             )
         else:
-            raise ValueError(f"Mode {mode} if not supported")
+            raise ValueError(f"unsupported denoiser mode {mode!r}; "
+                             f"choose 'zeros' or 'normal'")
 
         bias_audio = jax.jit(
             lambda p, m, k: waveglow_infer(cfg, p, m, 0.0, k)
