@@ -471,7 +471,8 @@ if __name__ == "__main__":
         "e2e_fused": bench_e2e_fused,
         "e2e_fused_batch":
             lambda: bench_e2e_fused_batch(batch=args.batch or 24),
-        "streaming": bench_streaming,
+        "streaming": lambda: bench_streaming(
+            frontend_threads=args.frontend_threads),
         "streaming_fused": lambda: bench_streaming(
             fused=True, batch=args.batch or 1,
             frontend_threads=args.frontend_threads),

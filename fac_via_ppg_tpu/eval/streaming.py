@@ -51,6 +51,65 @@ class StreamResult:
     wall_seconds: float
 
 
+def _frontend_pool(wav_paths, featurize_fn, n_workers: int,
+                   queue_depth: int):
+    """Lazily yields (path, payload, frontend_seconds) from a pool of
+    host featurization threads.
+
+    `wav_paths` may be any iterable — including a live/unbounded
+    generator: a feeder thread pulls paths one at a time through a
+    bounded queue, so production overlaps consumption and nothing is
+    drained eagerly.  Yield order follows featurization completion, not
+    input order.  A worker exception is re-raised at the stream end.
+    """
+    path_q: queue.Queue = queue.Queue(maxsize=max(queue_depth, 1))
+    feat_q: queue.Queue = queue.Queue(maxsize=max(queue_depth, 1))
+    _PSENT = object()
+    _SENT = object()
+    errors = []
+    live = [n_workers]
+    live_lock = threading.Lock()
+
+    def feeder():
+        try:
+            for p in wav_paths:
+                path_q.put(p)
+        except BaseException as e:
+            errors.append(e)
+        finally:
+            for _ in range(n_workers):
+                path_q.put(_PSENT)
+
+    def worker():
+        try:
+            while True:
+                path = path_q.get()
+                if path is _PSENT:
+                    break
+                t0 = time.perf_counter()
+                payload = featurize_fn(path)
+                feat_q.put((path, payload, time.perf_counter() - t0))
+        except BaseException as e:
+            errors.append(e)
+        finally:
+            with live_lock:
+                live[0] -= 1
+                if live[0] == 0:
+                    feat_q.put(_SENT)
+
+    threading.Thread(target=feeder, daemon=True).start()
+    for _ in range(n_workers):
+        threading.Thread(target=worker, daemon=True).start()
+
+    while True:
+        item = feat_q.get()
+        if item is _SENT:
+            if errors:
+                raise errors[0]
+            return
+        yield item
+
+
 class StreamingAccentConverter:
     def __init__(self, t2_cfg: Tacotron2Config, tacotron_params,
                  tacotron_state, wg_cfg: WaveGlowConfig, waveglow_params,
@@ -105,31 +164,12 @@ class StreamingAccentConverter:
             yield from self._run_fused(wav_paths, key)
             return
         key = key if key is not None else jax.random.PRNGKey(0)
-        feat_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
-        _SENT = object()
-        errors = []
-
-        def frontend_worker():
-            try:
-                for path in wav_paths:
-                    t0 = time.perf_counter()
-                    teacher_ppg = ppg_mod.get_ppg(path, self.deps)
-                    feat_q.put((path, teacher_ppg, time.perf_counter() - t0))
-            except BaseException as e:
-                errors.append(e)
-            finally:
-                feat_q.put(_SENT)
-
-        thread = threading.Thread(target=frontend_worker, daemon=True)
-        thread.start()
-
-        while True:
-            item = feat_q.get()
-            if item is _SENT:
-                if errors:
-                    raise errors[0]
-                return
-            path, teacher_ppg, frontend_s = item
+        stream = _frontend_pool(
+            wav_paths, lambda p: ppg_mod.get_ppg(p, self.deps),
+            n_workers=max(1, self.frontend_threads),
+            queue_depth=self.queue_depth,
+        )
+        for path, teacher_ppg, frontend_s in stream:
             t0 = time.perf_counter()
             key, k_mel, k_wg = jax.random.split(key, 3)
             # Length-bucketed shapes throughout: one compiled decoder /
@@ -170,38 +210,11 @@ class StreamingAccentConverter:
         compiled batch shape) — a throughput mode; for lowest
         per-utterance latency use batch_size=1."""
         key = key if key is not None else jax.random.PRNGKey(0)
-        feat_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
-        path_q: queue.Queue = queue.Queue()
-        for p in wav_paths:
-            path_q.put(p)
-        _SENT = object()
-        errors = []
-        n_workers = max(1, self.frontend_threads)
-        live = [n_workers]
-        live_lock = threading.Lock()
-
-        def frontend_worker():
-            try:
-                while True:
-                    try:
-                        path = path_q.get_nowait()
-                    except queue.Empty:
-                        break
-                    t0 = time.perf_counter()
-                    feats, t = self.fused.featurize(path)
-                    feat_q.put(
-                        (path, feats, t, time.perf_counter() - t0)
-                    )
-            except BaseException as e:
-                errors.append(e)
-            finally:
-                with live_lock:
-                    live[0] -= 1
-                    if live[0] == 0:
-                        feat_q.put(_SENT)
-
-        for _ in range(n_workers):
-            threading.Thread(target=frontend_worker, daemon=True).start()
+        stream = _frontend_pool(
+            wav_paths, self.fused.featurize,
+            n_workers=max(1, self.frontend_threads),
+            queue_depth=self.queue_depth,
+        )
 
         pending = []
 
@@ -211,11 +224,11 @@ class StreamingAccentConverter:
             t0 = time.perf_counter()
             key, sub = jax.random.split(key)
             pcms = self.fused.synthesize_feature_pairs(
-                [(feats, t) for _, feats, t, _ in batch], sub,
+                [pair for _, pair, _ in batch], sub,
                 pad_batch_to=self.batch_size,
             )
             device_s = (time.perf_counter() - t0) / len(batch)
-            for (path, _, _, frontend_s), pcm in zip(batch, pcms):
+            for (path, _, frontend_s), pcm in zip(batch, pcms):
                 yield StreamResult(
                     wav_path=path,
                     audio=pcm.astype(np.float32) / 32767.0,
@@ -223,18 +236,11 @@ class StreamingAccentConverter:
                     wall_seconds=device_s + frontend_s,
                 )
 
-        while True:
-            item = feat_q.get()
-            if item is _SENT:
-                if pending:
-                    yield from flush()
-                if errors:
-                    raise errors[0]
-                return
+        for item in stream:
             if self.batch_size == 1:
                 # single-utterance program (scalar stop step readback):
                 # the lowest-latency path, unchanged from before
-                path, feats, t, frontend_s = item
+                path, (feats, t), frontend_s = item
                 t0 = time.perf_counter()
                 key, sub = jax.random.split(key)
                 pcm = self.fused.synthesize_features(feats, t, sub)
@@ -248,6 +254,8 @@ class StreamingAccentConverter:
             pending.append(item)
             if len(pending) >= self.batch_size:
                 yield from flush()
+        if pending:
+            yield from flush()
 
 
 def main():
@@ -298,6 +306,9 @@ def main():
     total_audio = total_wall = 0.0
     steady_audio = steady_wall = 0.0
     n = 0
+    # With micro-batching every result of the first flush shares the
+    # compile-laden device time, so the whole first batch is warmup.
+    warm = args.batch_size if args.batch_size > 1 else 1
     t_start = time.perf_counter()
     for result in converter.run(wavs):
         out = os.path.join(
@@ -310,7 +321,7 @@ def main():
         )
         total_audio += result.audio_seconds
         total_wall += result.wall_seconds
-        if n > 0:  # first utterance pays the jit compiles
+        if n >= warm:  # earlier results pay the jit compiles
             steady_audio += result.audio_seconds
             steady_wall += result.wall_seconds
         n += 1

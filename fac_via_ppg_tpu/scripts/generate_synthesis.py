@@ -104,7 +104,6 @@ def main():
         checkpoint_path, t2_cfg
     )
     waveglow_params = load_waveglow_model(waveglow_path, wg_cfg)
-    denoiser = Denoiser(wg_cfg, waveglow_params, mode=denoiser_mode)
 
     deps = ppg_mod.DependenciesPPG()
     key = jax.random.PRNGKey(hparams.seed)
@@ -121,11 +120,17 @@ def main():
     if os.path.isdir(teacher_utt_path):
         batch_paths = sorted(
             os.path.join(teacher_utt_path, f)
-            for f in os.listdir(teacher_utt_path) if f.endswith(".wav")
+            for f in os.listdir(teacher_utt_path)
+            if f.lower().endswith(".wav")
         )
     elif teacher_utt_path.endswith(".txt") and os.path.isfile(teacher_utt_path):
         with open(teacher_utt_path) as f:
             batch_paths = [ln.strip() for ln in f if ln.strip()]
+
+    if batch_paths is not None and not batch_paths:
+        logging.warning("No .wav files under %s", teacher_utt_path)
+        print("No .wav files under", teacher_utt_path)
+        return
 
     if batch_paths is not None:
         from fac_via_ppg_tpu.eval.fused import FusedSynthesizer
@@ -177,6 +182,9 @@ def main():
                 ac_mel, wg_cfg, waveglow_params, waveglow_sigma, k_wg,
                 dtype=serving_dtype,
             )
+            # built here, not up front: the fused/batch paths build their
+            # own bias program inside FusedSynthesizer
+            denoiser = Denoiser(wg_cfg, waveglow_params, mode=denoiser_mode)
             ac_wav = np.asarray(
                 denoiser(ac_wav, strength=denoiser_strength)
             )[0, 0]
