@@ -212,6 +212,7 @@ def _train_loop(hparams, cfg, mesh, params, model_state, opt_state, optimizer,
                 pad_to, place):
     from fac_via_ppg_tpu.data.prefetch import prefetch
 
+    saver = ckpt.AsyncCheckpointSaver()
     for epoch in range(epoch_offset, hparams.epochs):
         print("Epoch: {}".format(epoch))
         # Collation + H2D transfer of batch N+1 overlap step N on device.
@@ -254,13 +255,16 @@ def _train_loop(hparams, cfg, mesh, params, model_state, opt_state, optimizer,
                         "Saving model and optimizer state at iteration "
                         "{} to {}".format(iteration, path)
                     )
-                    ckpt.save_checkpoint(
+                    # non-blocking: readback + write happen on a saver
+                    # thread while training continues
+                    saver.save(
                         path, params, opt_state, learning_rate, iteration,
                         model_state,
                     )
 
             iteration += 1
 
+    saver.wait()
     return params, model_state, opt_state, iteration
 
 

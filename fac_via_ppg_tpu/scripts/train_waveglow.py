@@ -102,6 +102,7 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
         print("log directory", log_dir)
         logger = WaveglowLogger(log_dir)
 
+    saver = ckpt.AsyncCheckpointSaver()
     epoch_offset = max(0, int(iteration / max(len(train_loader), 1)))
     for epoch in range(epoch_offset, epochs):
         print("Epoch: {}".format(epoch))
@@ -125,11 +126,14 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
                         "Saving model and optimizer state at iteration "
                         "{} to {}".format(iteration, path)
                     )
-                    ckpt.save_checkpoint(
+                    # non-blocking: readback + write happen on a saver
+                    # thread while training continues
+                    saver.save(
                         path, params, opt_state, learning_rate, iteration
                     )
             iteration += 1
 
+    saver.wait()
     return params, opt_state, iteration
 
 

@@ -15,9 +15,11 @@ replacement for torch.save.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -47,6 +49,55 @@ def save_checkpoint(
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
+
+
+class AsyncCheckpointSaver:
+    """Non-blocking checkpoint saves.
+
+    `save()` snapshots the pytrees with a cheap on-device copy (fresh
+    buffers, so later donating train steps can't invalidate them — JAX
+    orders the copy before any subsequent donation of the same buffers)
+    and hands the device->host readback plus the orbax write to a
+    background thread.  Training dispatches its next step immediately
+    instead of stalling for the readback (~2 min for a full WaveGlow
+    params+opt payload over this session's tunnel; seconds on real
+    hosts).
+
+    At most one save is in flight: a new `save()` joins the previous one
+    first, bounding extra device memory at one snapshot.  A failed
+    background save re-raises on the next `save()`/`wait()`.  Call
+    `wait()` before process exit so the final checkpoint lands.
+    """
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    def save(self, path: str, params, opt_state, learning_rate: float,
+             iteration: int, model_state=None):
+        self.wait()
+        snap_params, snap_opt, snap_model = jax.tree_util.tree_map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x,
+            (params, opt_state, model_state),
+        )
+
+        def _job():
+            try:
+                save_checkpoint(path, snap_params, snap_opt, learning_rate,
+                                iteration, model_state=snap_model)
+            except BaseException as e:  # surfaced on next save()/wait()
+                self._error = e
+
+        self._thread = threading.Thread(target=_job, daemon=True)
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
 
 
 def _restructure(raw, template):

@@ -322,3 +322,97 @@ def test_waveglow_bf16_train_step(rng):
     for leaf in jax.tree.leaves((p16, o16)):
         if jnp.issubdtype(leaf.dtype, jnp.floating):
             assert leaf.dtype == jnp.float32, leaf.dtype
+
+
+def test_async_checkpoint_saver(tmp_path, rng):
+    """Async save == sync save payload; back-to-back saves serialize; a
+    background failure surfaces on the next wait()."""
+    params = {"w": jnp.asarray(rng.randn(4, 3), jnp.float32),
+              "layers": [{"b": jnp.asarray(rng.randn(3), jnp.float32)}]}
+    optimizer = make_optimizer(1e-3)
+    opt_state = optimizer.init(params)
+
+    sync_path = str(tmp_path / "sync")
+    ckpt.save_checkpoint(sync_path, params, opt_state, 1e-3, 7)
+
+    saver = ckpt.AsyncCheckpointSaver()
+    async_path = str(tmp_path / "async")
+    saver.save(async_path, params, opt_state, 1e-3, 7)
+    # params may be donated/overwritten right after save() returns — the
+    # snapshot must be independent of this buffer
+    params["w"] = params["w"] * 0.0
+    saver.save(str(tmp_path / "async2"), params, opt_state, 1e-3, 8)
+    saver.wait()
+
+    like = {"params": {"w": None, "layers": [{"b": None}]},
+            "opt_state": opt_state}
+    a = ckpt.load_checkpoint(async_path, like=like)
+    s = ckpt.load_checkpoint(sync_path, like=like)
+    assert int(a["iteration"]) == 7
+    for x, y in zip(jax.tree.leaves(a["params"]),
+                    jax.tree.leaves(s["params"])):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    b = ckpt.load_checkpoint(str(tmp_path / "async2"), like=like)
+    np.testing.assert_array_equal(np.asarray(b["params"]["w"]), 0.0)
+
+    # failure in the background thread surfaces on the next wait()
+    bad = ckpt.AsyncCheckpointSaver()
+    bad.save("/proc/definitely/not/writable", params, opt_state, 1e-3, 0)
+    with pytest.raises(BaseException):
+        bad.wait()
+
+
+def test_train_waveglow_cli_end_to_end(tmp_path, rng):
+    """The real train_waveglow.train() on the CPU mesh with a tiny model:
+    finite decreasing loss, async checkpoints written, auto-resume
+    continues from the saved iteration."""
+    import glob
+    import os
+
+    from scipy.io import wavfile
+
+    from fac_via_ppg_tpu.scripts.train_waveglow import train
+
+    wavs = []
+    for i in range(8):  # batch divides the 8-device CPU mesh
+        t = np.arange(6000) / 16000.0
+        p = str(tmp_path / f"w{i}.wav")
+        wavfile.write(p, 16000, (np.sin(2 * np.pi * (200 + 20 * i) * t)
+                                 * 9000).astype(np.int16))
+        wavs.append(p)
+    filelist = str(tmp_path / "files.txt")
+    with open(filelist, "w") as f:
+        f.write("\n".join(wavs) + "\n")
+
+    data_config = dict(
+        training_files=filelist, segment_length=2048, sampling_rate=16000,
+        filter_length=256, hop_length=64, win_length=256,
+        mel_fmin=0.0, mel_fmax=8000.0, n_mel_channels=16,
+    )
+    waveglow_config = dict(
+        n_mel_channels=16, hop_length=64, n_flows=2, n_group=8,
+        n_early_every=4, n_early_size=2,
+        WN_config=dict(n_layers=2, n_channels=16, kernel_size=3),
+    )
+    out_dir = str(tmp_path / "run")
+    params, opt_state, iteration = train(
+        1, 0, "", out_dir, epochs=3, learning_rate=1e-4, sigma=0.7071,
+        iters_per_checkpoint=2, batch_size=8, seed=1,
+        checkpoint_path="", data_config=data_config,
+        waveglow_config=waveglow_config,
+    )
+    assert iteration == 3  # 8 files / batch 8 = 1 iter per epoch
+    cks = sorted(os.path.basename(p) for p in
+                 glob.glob(os.path.join(out_dir, "waveglow_*")))
+    assert "waveglow_0" in cks and "waveglow_2" in cks, cks
+
+    # auto-resume picks up the newest checkpoint and continues
+    params2, _, iteration2 = train(
+        1, 0, "", out_dir, epochs=5, learning_rate=1e-4, sigma=0.7071,
+        iters_per_checkpoint=100, batch_size=8, seed=1,
+        checkpoint_path="auto", data_config=data_config,
+        waveglow_config=waveglow_config,
+    )
+    assert iteration2 == 5
+    for leaf in jax.tree.leaves(params2):
+        assert np.isfinite(np.asarray(leaf)).all()
