@@ -416,3 +416,72 @@ def test_train_waveglow_cli_end_to_end(tmp_path, rng):
     assert iteration2 == 5
     for leaf in jax.tree.leaves(params2):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_train_ppg2mel_cli_end_to_end(tmp_path, rng, monkeypatch):
+    """The real train_ppg2mel.train() on the CPU mesh: tiny AM + tiny
+    model, finite loss, validation + async checkpoint written, resume."""
+    import glob
+    import os
+
+    from scipy.io import wavfile
+
+    from fac_via_ppg_tpu.configs.hparams import create_hparams
+    from fac_via_ppg_tpu.data import ppg_mel_dataset as ds_mod
+    from fac_via_ppg_tpu.frontend.ppg import DependenciesPPG
+    from fac_via_ppg_tpu.scripts.make_substitute_am import make_bundle
+    from fac_via_ppg_tpu.scripts.train_ppg2mel import train
+
+    make_bundle(str(tmp_path / "bundle"), n_senones=16, n_phones=4,
+                hidden_dim=8, num_layers=1)
+    deps = DependenciesPPG(
+        nnet_path=str(tmp_path / "bundle" / "am" / "final.raw.txt"),
+        lda_path=str(tmp_path / "bundle" / "feats" / "final.mat"),
+        reduce_dim_path=str(tmp_path / "bundle" / "feats" / "reduce_dim.mat"),
+        splice_opts_path=str(tmp_path / "bundle" / "feats" / "splice_opts"),
+    )
+    monkeypatch.setattr(ds_mod, "DependenciesPPG", lambda: deps)
+
+    wavs = []
+    for i in range(9):  # 8 train (divides the mesh) + 1 validation
+        t = np.arange(4800 + 160 * i) / 16000.0
+        p = str(tmp_path / f"w{i}.wav")
+        wavfile.write(p, 16000, (np.sin(2 * np.pi * (180 + 15 * i) * t)
+                                 * 9000).astype(np.int16))
+        wavs.append(p)
+    train_list = str(tmp_path / "train.txt")
+    val_list = str(tmp_path / "val.txt")
+    with open(train_list, "w") as f:
+        f.write("\n".join(wavs[:8]) + "\n")
+    with open(val_list, "w") as f:
+        f.write(wavs[8] + "\n")
+
+    out_dir = str(tmp_path / "run")
+    hp = create_hparams(
+        training_files=train_list, validation_files=val_list,
+        output_directory=out_dir, log_directory="log",
+        checkpoint_path="", epochs=2, batch_size=8,
+        iters_per_checkpoint=1, seed=1, length_bucket_size=32,
+        n_symbols=16, symbols_embedding_dim=16, encoder_embedding_dim=16,
+        decoder_rnn_dim=12, prenet_dim=8, attention_rnn_dim=12,
+        attention_dim=8, attention_location_n_filters=4,
+        attention_location_kernel_size=7, postnet_embedding_dim=16,
+        max_decoder_steps=16,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    params, model_state, opt_state, iteration = train(
+        out_dir, "log", "", False, 1, 0, "", hp,
+    )
+    assert iteration == 2
+    cks = sorted(os.path.basename(p) for p in
+                 glob.glob(os.path.join(out_dir, "checkpoint_*")))
+    assert "checkpoint_0" in cks, cks
+    for leaf in jax.tree.leaves(params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+    # auto-resume continues from the newest checkpoint
+    hp2 = create_hparams(**{**hp.__dict__, "epochs": 3,
+                            "checkpoint_path": "auto",
+                            "iters_per_checkpoint": 100})
+    _, _, _, iteration2 = train(out_dir, "log", "auto", False, 1, 0, "", hp2)
+    assert iteration2 == 3
