@@ -213,6 +213,31 @@ def _train_loop(hparams, cfg, mesh, params, model_state, opt_state, optimizer,
     from fac_via_ppg_tpu.data.prefetch import prefetch
 
     saver = ckpt.AsyncCheckpointSaver()
+    try:
+        result = _epoch_loop(
+            hparams, cfg, mesh, params, model_state, opt_state, optimizer,
+            train_step, eval_step, train_loader, valset, logger, key,
+            learning_rate, iteration, epoch_offset, output_directory,
+            pad_to, place, prefetch, saver,
+        )
+    except BaseException:
+        # land any announced in-flight checkpoint even on crash/interrupt
+        # (checkpoint_path='auto' recovery depends on it) — without
+        # letting a save failure mask the real error
+        try:
+            saver.wait()
+        except BaseException as save_err:
+            print(f"WARNING: final async checkpoint save failed: "
+                  f"{save_err!r}")
+        raise
+    saver.wait()
+    return result
+
+
+def _epoch_loop(hparams, cfg, mesh, params, model_state, opt_state, optimizer,
+                train_step, eval_step, train_loader, valset, logger, key,
+                learning_rate, iteration, epoch_offset, output_directory,
+                pad_to, place, prefetch, saver):
     for epoch in range(epoch_offset, hparams.epochs):
         print("Epoch: {}".format(epoch))
         # Collation + H2D transfer of batch N+1 overlap step N on device.
@@ -264,7 +289,6 @@ def _train_loop(hparams, cfg, mesh, params, model_state, opt_state, optimizer,
 
             iteration += 1
 
-    saver.wait()
     return params, model_state, opt_state, iteration
 
 

@@ -104,6 +104,32 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
 
     saver = ckpt.AsyncCheckpointSaver()
     epoch_offset = max(0, int(iteration / max(len(train_loader), 1)))
+    try:
+        result = _waveglow_epoch_loop(
+            epochs, epoch_offset, train_loader, place, step, params,
+            opt_state, learning_rate, iters_per_checkpoint,
+            output_directory, logger, saver, iteration,
+        )
+    except BaseException:
+        # land any announced in-flight checkpoint even on crash/interrupt
+        # (checkpoint_path='auto' recovery depends on it) — without
+        # letting a save failure mask the real error
+        try:
+            saver.wait()
+        except BaseException as save_err:
+            print(f"WARNING: final async checkpoint save failed: "
+                  f"{save_err!r}")
+        raise
+    saver.wait()
+    return result
+
+
+def _waveglow_epoch_loop(epochs, epoch_offset, train_loader, place, step,
+                         params, opt_state, learning_rate,
+                         iters_per_checkpoint, output_directory, logger,
+                         saver, iteration):
+    from fac_via_ppg_tpu.data.prefetch import prefetch
+
     for epoch in range(epoch_offset, epochs):
         print("Epoch: {}".format(epoch))
         # batch N+1 collation/H2D overlaps step N on device
@@ -133,7 +159,6 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
                     )
             iteration += 1
 
-    saver.wait()
     return params, opt_state, iteration
 
 

@@ -73,9 +73,25 @@ class AsyncCheckpointSaver:
         self._thread: Optional[threading.Thread] = None
         self._error: Optional[BaseException] = None
 
+    def _join(self) -> Optional[BaseException]:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        err, self._error = self._error, None
+        return err
+
     def save(self, path: str, params, opt_state, learning_rate: float,
              iteration: int, model_state=None):
-        self.wait()
+        # A failed PREVIOUS save must not abort training here — the
+        # current state would be lost too (neither checkpoint lands).
+        # Warn at the blame site and proceed with the new save; a failure
+        # of the LAST save still raises from wait().
+        prev_err = self._join()
+        if prev_err is not None:
+            print(
+                "WARNING: previous async checkpoint save failed "
+                f"({prev_err!r}); continuing with the current save"
+            )
         snap_params, snap_opt, snap_model = jax.tree_util.tree_map(
             lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x,
             (params, opt_state, model_state),
@@ -92,11 +108,8 @@ class AsyncCheckpointSaver:
         self._thread.start()
 
     def wait(self):
-        if self._thread is not None:
-            self._thread.join()
-            self._thread = None
-        if self._error is not None:
-            err, self._error = self._error, None
+        err = self._join()
+        if err is not None:
             raise err
 
 

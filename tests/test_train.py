@@ -337,10 +337,16 @@ def test_async_checkpoint_saver(tmp_path, rng):
 
     saver = ckpt.AsyncCheckpointSaver()
     async_path = str(tmp_path / "async")
+    w_expect = np.asarray(params["w"]).copy()
     saver.save(async_path, params, opt_state, 1e-3, 7)
-    # params may be donated/overwritten right after save() returns — the
-    # snapshot must be independent of this buffer
-    params["w"] = params["w"] * 0.0
+    # params are donated right after save() returns (the train steps use
+    # donate_argnums) — the snapshot must be an independent buffer, so
+    # actually donate the original here and check the payload survives
+    donate_step = jax.jit(
+        lambda p: jax.tree_util.tree_map(lambda x: x * 0.0, p),
+        donate_argnums=0,
+    )
+    params = donate_step(params)
     saver.save(str(tmp_path / "async2"), params, opt_state, 1e-3, 8)
     saver.wait()
 
@@ -349,6 +355,7 @@ def test_async_checkpoint_saver(tmp_path, rng):
     a = ckpt.load_checkpoint(async_path, like=like)
     s = ckpt.load_checkpoint(sync_path, like=like)
     assert int(a["iteration"]) == 7
+    np.testing.assert_array_equal(np.asarray(a["params"]["w"]), w_expect)
     for x, y in zip(jax.tree.leaves(a["params"]),
                     jax.tree.leaves(s["params"])):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
