@@ -562,6 +562,11 @@ def load_nnet3(path: str) -> Nnet3:
             )
 
             return read_nnet3_binary(f)
+        if head.startswith(b"\x00"):
+            # a lone \x00 (truncated binary header) is not a text model
+            raise ValueError(
+                f"{path}: truncated or corrupt binary nnet3 header {head!r}"
+            )
     with open(path, "r") as f:
         net = parse_nnet3_text(f.read())
     _fix_matrix_shapes(net)

@@ -221,6 +221,12 @@ def read_nnet3_binary(f: BinaryIO) -> Nnet3:
                 attrs[k] = "T" if v else "F"
         components[name] = Component(kind=kind, attrs=attrs)
 
+    # closing token: catches files truncated inside the final component's
+    # tail, which would otherwise parse "successfully"
+    tok = _read_token(f)
+    if tok != "</Nnet3>":
+        raise kaldi_io.KaldiIOError(f"Expected </Nnet3>, got {tok!r}")
+
     net = Nnet3(nodes=nodes, node_order=node_order, components=components)
     _reshape_params(net)
     return net

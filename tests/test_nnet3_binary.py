@@ -73,3 +73,66 @@ def test_binary_with_tdnn_component(tmp_path, rng):
         np.ravel(net2.components["tdnn"].attrs["TimeOffsets"]), [-1, 0]
     )
     assert net2.components["tdnn"].attrs["UseNaturalGradient"] == "T"
+
+
+def test_binary_malformed_inputs_raise_cleanly(net, tmp_path):
+    """Corrupt binary artifacts must raise (any Exception subclass, never
+    hang, crash the process, or silently return a wrong network)."""
+    bin_path = str(tmp_path / "net.raw")
+    write_nnet3_binary(net, bin_path)
+    blob = open(bin_path, "rb").read()
+
+    # truncation at several depths: header-only, mid-token, mid-params
+    for cut in (1, 2, 10, len(blob) // 2, len(blob) - 4):
+        p = str(tmp_path / f"trunc_{cut}.raw")
+        with open(p, "wb") as f:
+            f.write(blob[:cut])
+        with pytest.raises(Exception):
+            nnet3.load_nnet3(p)
+
+    # corrupted magic / leading token
+    bad = b"\x00Z" + blob[2:]
+    p = str(tmp_path / "badmagic.raw")
+    with open(p, "wb") as f:
+        f.write(bad)
+    with pytest.raises(Exception):
+        nnet3.load_nnet3(p)
+
+    # a dimension field blown up to a huge value must not allocate wildly
+    # or loop: find the first int32 after <Nnet3> and overwrite it
+    idx = blob.find(b"<NumComponents>")
+    if idx != -1:
+        import struct
+        bad2 = bytearray(blob)
+        # token is followed by \x04 + int32 count
+        off = idx + len(b"<NumComponents>") + 2
+        bad2[off : off + 4] = struct.pack("<i", 2**30)
+        p = str(tmp_path / "hugecount.raw")
+        with open(p, "wb") as f:
+            f.write(bytes(bad2))
+        with pytest.raises(Exception):
+            nnet3.load_nnet3(p)
+
+
+def test_kaldi_io_malformed_matrix_raises(tmp_path, rng):
+    """Truncated / garbage Kaldi matrices raise instead of returning
+    partial data."""
+    from fac_via_ppg_tpu.frontend import kaldi_io
+
+    mat = rng.randn(6, 5).astype(np.float32)
+    path = str(tmp_path / "m.mat")
+    kaldi_io.write_matrix(path, mat)
+    blob = open(path, "rb").read()
+
+    for cut in (1, 3, 8, len(blob) - 3):
+        p = str(tmp_path / f"m_{cut}.mat")
+        with open(p, "wb") as f:
+            f.write(blob[:cut])
+        with pytest.raises(Exception):
+            kaldi_io.read_matrix(p)
+
+    p = str(tmp_path / "garbage.mat")
+    with open(p, "wb") as f:
+        f.write(b"\x00B\x00XYZW" + bytes(40))
+    with pytest.raises(Exception):
+        kaldi_io.read_matrix(p)
