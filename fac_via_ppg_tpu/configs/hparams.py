@@ -135,6 +135,10 @@ _TPU_EXTENSIONS: Dict[str, Any] = {
     # (decoder scan + encoder LSTMs).  Higher = faster steps, longer
     # compiles.  Measured: 4 gives ~9% faster training steps.
     "scan_unroll": 4,
+    # Gradient accumulation: micro-batches per optimizer step (the
+    # effective batch is batch_size; device memory scales with
+    # batch_size / grad_accum_steps).  1 disables.
+    "grad_accum_steps": 1,
     # Number of devices along the data axis of the jax mesh ("" = all).
     "data_parallel_devices": "",
     # Devices along the 'model' mesh axis: tensor-parallel sharding of the

@@ -141,6 +141,7 @@ def train(output_directory, log_directory, checkpoint_path, warm_start,
         cfg, optimizer, hparams.mel_weight, hparams.gate_weight,
         compute_dtype=(None if train_dtype == "float32"
                        else jnp.dtype(train_dtype)),
+        grad_accum=getattr(hparams, "grad_accum_steps", 1),
     )
     eval_step = make_tacotron2_eval_step(
         cfg, hparams.mel_weight, hparams.gate_weight

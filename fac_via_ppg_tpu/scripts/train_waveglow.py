@@ -36,12 +36,14 @@ from fac_via_ppg_tpu.train.step import make_waveglow_train_step
 
 def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
           sigma, iters_per_checkpoint, batch_size, seed, checkpoint_path,
-          data_config=None, waveglow_config=None, train_dtype="float32"):
+          data_config=None, waveglow_config=None, train_dtype="float32",
+          grad_accum_steps=1):
     """Signature mirrors the reference train() (train_waveglow.py:66).
 
     `train_dtype` is a TPU extension: "bfloat16" runs the flows' forward/
-    backward in bf16 with float32 params/optimizer/logdets/loss (see
-    train/step.py).
+    backward in bf16 with float32 params/optimizer/logdets/loss;
+    `grad_accum_steps` evaluates the batch as that many sequential
+    micro-batches with averaged gradients (see train/step.py).
     """
     del num_gpus, rank, group_name  # single-controller JAX
 
@@ -61,6 +63,7 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
         cfg, optimizer, sigma=sigma,
         compute_dtype=(None if train_dtype == "float32"
                        else jnp.dtype(train_dtype)),
+        grad_accum=grad_accum_steps,
     )
 
     iteration = 0

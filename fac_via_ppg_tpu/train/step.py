@@ -46,7 +46,8 @@ def make_tacotron2_train_step(cfg: Tacotron2Config, optimizer,
                               mel_weight: float = 1.0,
                               gate_weight: float = 0.005,
                               donate: bool = True,
-                              compute_dtype=None):
+                              compute_dtype=None,
+                              grad_accum: int = 1):
     """Returns jitted (params, model_state, opt_state, batch, key) -> StepOut.
 
     batch = (ppg_padded, input_lengths, acoustic_padded, gate_padded,
@@ -60,6 +61,17 @@ def make_tacotron2_train_step(cfg: Tacotron2Config, optimizer,
     float32's exponent range so no loss scaling is needed: the cast
     params -> bf16 happens INSIDE the differentiated function, so grads
     arrive float32 through the cast's transpose.  Default None = float32.
+
+    `grad_accum` > 1 splits the leading batch axis into that many
+    micro-batches evaluated sequentially under lax.scan, averaging the
+    gradients into ONE optimizer update — a large effective batch at the
+    device memory of a micro-batch (the reference has no equivalent).
+    Batch-norm statistics thread through the scan carry, so running
+    stats update per micro-batch exactly like sequential torch forwards.
+    The loss (and update) equals the full-batch step when micro-batches
+    share the same padded length; with mixed-length buckets it is the
+    mean of per-micro-batch losses (each normalized by its own max
+    length, like the reference's per-batch denominator).
     """
 
     def loss_fn(params, model_state, batch, key):
@@ -79,9 +91,40 @@ def make_tacotron2_train_step(cfg: Tacotron2Config, optimizer,
         return loss, new_state
 
     def step(params, model_state, opt_state, batch, key):
-        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, model_state, batch, key
-        )
+        if grad_accum == 1:
+            (loss, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, model_state, batch, key)
+        else:
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape(grad_accum, x.shape[0] // grad_accum,
+                                    *x.shape[1:]),
+                batch,
+            )
+            keys = jax.random.split(key, grad_accum)
+
+            def acc(carry, inp):
+                state, loss_sum, grad_sum = carry
+                mb, k = inp
+                (loss, state), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, state, mb, k)
+                grad_sum = jax.tree_util.tree_map(
+                    lambda a, g: a + g, grad_sum, grads
+                )
+                return (state, loss_sum + loss, grad_sum), None
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(jnp.shape(p), jnp.float32), params
+            )
+            (new_state, loss, grads), _ = jax.lax.scan(
+                acc,
+                (model_state, jnp.zeros((), jnp.float32), zeros),
+                (micro, keys),
+            )
+            inv = 1.0 / grad_accum
+            loss = loss * inv
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
         gnorm = global_norm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -109,14 +152,18 @@ def make_tacotron2_eval_step(cfg: Tacotron2Config, mel_weight: float = 1.0,
 
 
 def make_waveglow_train_step(cfg: WaveGlowConfig, optimizer, sigma: float,
-                             donate: bool = True, compute_dtype=None):
+                             donate: bool = True, compute_dtype=None,
+                             grad_accum: int = 1):
     """Returns jitted (params, opt_state, batch) -> StepOut.
 
     batch = (mel (B, 80, F), audio (B, T)).
 
     `compute_dtype` (e.g. jnp.bfloat16) runs the flows in that dtype with
     float32 params/grads/optimizer, float32 1x1-conv log-determinants and
-    float32 loss reductions — see make_tacotron2_train_step.
+    float32 loss reductions — see make_tacotron2_train_step.  `grad_accum`
+    splits the batch into sequential micro-batches with averaged
+    gradients (exactly the full-batch update: WaveGlow's loss is
+    per-element-normalized over fixed-size segments).
     """
 
     def loss_fn(params, batch):
@@ -129,7 +176,32 @@ def make_waveglow_train_step(cfg: WaveGlowConfig, optimizer, sigma: float,
         return waveglow_loss(out, sigma=sigma)
 
     def step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        if grad_accum == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        else:
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape(grad_accum, x.shape[0] // grad_accum,
+                                    *x.shape[1:]),
+                batch,
+            )
+
+            def acc(carry, mb):
+                loss_sum, grad_sum = carry
+                loss, grads = jax.value_and_grad(loss_fn)(params, mb)
+                grad_sum = jax.tree_util.tree_map(
+                    lambda a, g: a + g, grad_sum, grads
+                )
+                return (loss_sum + loss, grad_sum), None
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(jnp.shape(p), jnp.float32), params
+            )
+            (loss, grads), _ = jax.lax.scan(
+                acc, (jnp.zeros((), jnp.float32), zeros), micro
+            )
+            inv = 1.0 / grad_accum
+            loss = loss * inv
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
         gnorm = global_norm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -492,3 +492,50 @@ def test_train_ppg2mel_cli_end_to_end(tmp_path, rng, monkeypatch):
                             "iters_per_checkpoint": 100})
     _, _, _, iteration2 = train(out_dir, "log", "auto", False, 1, 0, "", hp2)
     assert iteration2 == 3
+
+
+def test_grad_accum_matches_full_batch(rng):
+    """grad_accum=2 must produce the same update as the full batch when
+    micro-batches share shapes: exact for WaveGlow (per-element loss);
+    Tacotron2 matches with uniform lengths (same denominator), BN stats
+    threading through the micro-batch scan."""
+    # --- WaveGlow: exact equivalence
+    cfg = WaveGlowConfig(
+        n_mel_channels=8, hop_length=16, n_flows=2, n_group=4,
+        n_early_every=4, n_early_size=2, wn_n_layers=2, wn_n_channels=16,
+        wn_kernel_size=3, upsample_kernel_size=32,
+    )
+    params = init_waveglow(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(1e-3)
+    opt_state = optimizer.init(params)
+    full = make_waveglow_train_step(cfg, optimizer, sigma=0.7071,
+                                    donate=False)
+    accum = make_waveglow_train_step(cfg, optimizer, sigma=0.7071,
+                                     donate=False, grad_accum=2)
+    mel = jnp.asarray(rng.randn(4, 8, 16), jnp.float32)
+    audio = jnp.asarray(rng.randn(4, 256) * 0.1, jnp.float32)
+    out_f = full(params, opt_state, (mel, audio))
+    out_a = accum(params, opt_state, (mel, audio))
+    np.testing.assert_allclose(float(out_a.loss), float(out_f.loss),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(out_a.params),
+                    jax.tree.leaves(out_f.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    # --- Tacotron2: loss equivalence with uniform lengths + finite update
+    params, state = init_tacotron2(jax.random.PRNGKey(0), CFG)
+    optimizer = make_optimizer(1e-3, 1e-6, 1.0)
+    opt_state = optimizer.init(params)
+    accum_t2 = make_tacotron2_train_step(CFG, optimizer, donate=False,
+                                         grad_accum=2)
+    batch = tuple(map(jnp.asarray, _batch(rng, B=4)))
+    out = accum_t2(params, state, opt_state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(out.loss))
+    assert np.isfinite(float(out.grad_norm))
+    # BN stats updated (scan carried the model state through micro-batches)
+    before = jax.tree.leaves(state)
+    after = jax.tree.leaves(out.model_state)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(before, after)
+    )
