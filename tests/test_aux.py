@@ -176,3 +176,71 @@ def test_mel_mse():
     b = np.zeros((80, 12))
     assert mel_mse(a, b) == 1.0
     assert mel_mse(a, a) == 0.0
+
+
+def test_tensorboard_loggers_write_events(tmp_path, rng):
+    """Both loggers write TensorBoard event files with the reference's
+    scalar/image/histogram surface (reference logger.py:41-94)."""
+    import glob
+    import os
+
+    import jax
+
+    from fac_via_ppg_tpu.train.logger import Tacotron2Logger, WaveglowLogger
+
+    d1 = str(tmp_path / "t2")
+    lg = Tacotron2Logger(d1)
+    lg.log_training(1.25, 0.5, 1e-4, 0.1, iteration=3)
+    B, D, T_out, T_in = 2, 8, 10, 6
+    params = {"w": rng.randn(4, 3).astype("float32")}
+    y = (rng.randn(B, D, T_out).astype("float32"),
+         rng.rand(B, T_out).astype("float32"))
+    y_pred = (rng.randn(B, D, T_out).astype("float32"),
+              rng.randn(B, D, T_out).astype("float32"),
+              rng.randn(B, T_out).astype("float32"),
+              rng.rand(B, T_out, T_in).astype("float32"))
+    lg.log_validation(0.9, params, y, y_pred, iteration=3)
+    lg.close()
+    events = glob.glob(os.path.join(d1, "events.out.tfevents.*"))
+    assert events and os.path.getsize(events[0]) > 1000
+
+    d2 = str(tmp_path / "wg")
+    wlg = WaveglowLogger(d2)
+    wlg.log_training(0.5, iteration=1)
+    wlg.close()
+    events = glob.glob(os.path.join(d2, "events.out.tfevents.*"))
+    assert events and os.path.getsize(events[0]) > 0
+
+
+def test_training_is_seed_deterministic(rng):
+    """Two runs from the same seed produce bitwise-identical params after
+    several steps (reproducibility; reference seeds at hparams.py:49)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fac_via_ppg_tpu.configs.hparams import WaveGlowConfig
+    from fac_via_ppg_tpu.models.waveglow import init_waveglow
+    from fac_via_ppg_tpu.train.optim import make_optimizer
+    from fac_via_ppg_tpu.train.step import make_waveglow_train_step
+
+    cfg = WaveGlowConfig(
+        n_mel_channels=8, hop_length=16, n_flows=2, n_group=4,
+        n_early_every=4, n_early_size=2, wn_n_layers=2, wn_n_channels=16,
+        wn_kernel_size=3, upsample_kernel_size=32,
+    )
+    mel = jnp.asarray(rng.randn(2, 8, 16), jnp.float32)
+    audio = jnp.asarray(rng.randn(2, 256) * 0.1, jnp.float32)
+
+    def run():
+        params = init_waveglow(jax.random.PRNGKey(7), cfg)
+        opt = make_optimizer(1e-3)
+        ost = opt.init(params)
+        step = make_waveglow_train_step(cfg, opt, sigma=0.7071, donate=False)
+        for _ in range(4):
+            out = step(params, ost, (mel, audio))
+            params, ost = out.params, out.opt_state
+        return params
+
+    a, b = run(), run()
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
