@@ -539,3 +539,25 @@ def test_grad_accum_matches_full_batch(rng):
         not np.allclose(np.asarray(a), np.asarray(b))
         for a, b in zip(before, after)
     )
+
+
+def test_dp_bf16_grad_accum_compose(rng):
+    """bf16 compute + grad_accum=2 + batch sharded over the 8-device mesh
+    compile and produce a finite update together (the production
+    combination)."""
+    params, state = init_tacotron2(jax.random.PRNGKey(0), CFG)
+    optimizer = make_optimizer(1e-3, 1e-6, 1.0)
+    opt_state = optimizer.init(params)
+    step = make_tacotron2_train_step(CFG, optimizer, donate=False,
+                                     compute_dtype=jnp.bfloat16,
+                                     grad_accum=2)
+    mesh = make_mesh(data=8, model=1)
+    batch = _batch(rng, B=16)  # 2 micro-batches of 8, each sharded 8-way
+    out = step(replicate(mesh, params), replicate(mesh, state),
+               replicate(mesh, opt_state), shard_batch(mesh, batch),
+               jax.random.PRNGKey(1))
+    assert np.isfinite(float(out.loss))
+    assert np.isfinite(float(out.grad_norm))
+    for leaf in jax.tree.leaves(out.params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
