@@ -405,3 +405,42 @@ def test_golden_full_frame(backend):
         pytest.skip("native frontend library unavailable")
     assert out.shape == (3, 13)
     np.testing.assert_allclose(out[1], GOLDEN_FRAME, rtol=2e-6, atol=2e-5)
+
+
+# ------------------------------------------ real reference wav fixtures
+
+REF_MONO = "/root/reference/test/data/test_mono_channel.wav"
+REF_DUAL = "/root/reference/test/data/test_dual_channel.wav"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_MONO),
+                    reason="reference mount unavailable")
+def test_reference_wav_fixtures_first_channel():
+    """The reference's own test wavs (test_feat.py:31-53 semantics): the
+    dual-channel file reduces to its first channel, and the mono pipeline
+    produces the documented 13-dim MFCC with the snip_edges=False frame
+    count."""
+    from fac_via_ppg_tpu.frontend import feat
+
+    fs_m, mono = feat.read_wav(REF_MONO)
+    fs_d, dual_first = feat.read_wav(REF_DUAL)
+    assert mono.ndim == 1 and dual_first.ndim == 1
+
+    from scipy.io import wavfile
+
+    _, raw_dual = wavfile.read(REF_DUAL)
+    assert raw_dual.ndim == 2  # really two channels on disk
+    np.testing.assert_array_equal(
+        dual_first, raw_dual[:, 0].astype(dual_first.dtype)
+    )
+
+    opts = MfccOptions(
+        frame_opts=FrameExtractionOptions(snip_edges=False,
+                                          allow_downsample=True,
+                                          samp_freq=fs_m),
+        use_energy=False,
+    )
+    feats = compute_mfcc(mono, fs_m, opts, seed=0)
+    assert feats.shape[1] == 13
+    shift = opts.frame_opts.frame_shift_ms / 1000.0
+    assert feats.shape[0] == int(round(len(mono) / (fs_m * shift)))
