@@ -562,10 +562,12 @@ def load_nnet3(path: str) -> Nnet3:
             )
 
             return read_nnet3_binary(f)
-        if head.startswith(b"\x00"):
-            # a lone \x00 (truncated binary header) is not a text model
+        if head.startswith(b"\x00") or not head:
+            # lone \x00 (truncated binary header) or an empty file is not
+            # a text model — don't fall through and "parse" nothing
             raise ValueError(
-                f"{path}: truncated or corrupt binary nnet3 header {head!r}"
+                f"{path}: truncated or corrupt nnet3 file "
+                f"(header {head!r})"
             )
     with open(path, "r") as f:
         net = parse_nnet3_text(f.read())

@@ -116,7 +116,18 @@ def _read_int_vector(f: BinaryIO) -> np.ndarray:
     if prefix != b"\x04":
         raise kaldi_io.KaldiIOError(f"Bad int-vector prefix {prefix!r}")
     (count,) = struct.unpack("<i", f.read(4))
-    return np.frombuffer(f.read(4 * count), dtype="<i4").astype(np.int64)
+    # validate like kaldi_io's matrix/vector readers: a corrupt count must
+    # not slurp the rest of the file (negative read(-n)) or attempt a
+    # multi-GB allocation
+    if count < 0 or count > 10**8:
+        raise kaldi_io.KaldiIOError(f"Implausible int-vector size {count}")
+    data = f.read(4 * count)
+    if len(data) != 4 * count:
+        raise kaldi_io.KaldiIOError(
+            f"Truncated int-vector: wanted {count} ints, got "
+            f"{len(data) // 4}"
+        )
+    return np.frombuffer(data, dtype="<i4").astype(np.int64)
 
 
 def _read_matrix_or_vector(f: BinaryIO, token: str):

@@ -42,6 +42,59 @@ def _cast_floats(tree, dtype):
     )
 
 
+def _split_micro(batch, grad_accum: int):
+    """(B, ...) batch pytree -> (grad_accum, B/grad_accum, ...) micro-batches.
+
+    The split is STRIDED (micro-batch i takes samples i, i+accum, ...):
+    with the batch sharded on a data mesh every device contributes
+    B/(devices*accum) samples to every micro-batch, so each micro-batch
+    stays fully local — a contiguous split would concentrate each
+    micro-batch on a subset of devices and force a per-step all-to-all.
+    """
+    b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+    if b % grad_accum != 0:
+        raise ValueError(
+            f"grad_accum={grad_accum} must divide the batch size, got "
+            f"batch dimension {b} (adjust batch_size or grad_accum_steps)"
+        )
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape(x.shape[0] // grad_accum, grad_accum,
+                            *x.shape[1:]).swapaxes(0, 1),
+        batch,
+    )
+
+
+def _accumulate_micro(vg_fn, params, model_state, micro, keys,
+                      grad_accum: int):
+    """Shared micro-batch gradient accumulation scan.
+
+    `vg_fn(params, state, mb, key) -> ((loss, new_state), grads)`; state
+    threads through the scan carry (batch-norm stats update per
+    micro-batch, like sequential forwards).  Returns
+    (new_state, mean_loss, mean_grads).
+    """
+
+    def acc(carry, inp):
+        state, loss_sum, grad_sum = carry
+        mb, k = inp
+        (loss, state), grads = vg_fn(params, state, mb, k)
+        grad_sum = jax.tree_util.tree_map(
+            lambda a, g: a + g, grad_sum, grads
+        )
+        return (state, loss_sum + loss, grad_sum), None
+
+    zeros = jax.tree_util.tree_map(
+        lambda p: jnp.zeros(jnp.shape(p), jnp.float32), params
+    )
+    (new_state, loss, grads), _ = jax.lax.scan(
+        acc, (model_state, jnp.zeros((), jnp.float32), zeros), (micro, keys)
+    )
+    inv = 1.0 / grad_accum
+    return new_state, loss * inv, jax.tree_util.tree_map(
+        lambda g: g * inv, grads
+    )
+
+
 def make_tacotron2_train_step(cfg: Tacotron2Config, optimizer,
                               mel_weight: float = 1.0,
                               gate_weight: float = 0.005,
@@ -68,10 +121,12 @@ def make_tacotron2_train_step(cfg: Tacotron2Config, optimizer,
     device memory of a micro-batch (the reference has no equivalent).
     Batch-norm statistics thread through the scan carry, so running
     stats update per micro-batch exactly like sequential torch forwards.
-    The loss (and update) equals the full-batch step when micro-batches
-    share the same padded length; with mixed-length buckets it is the
-    mean of per-micro-batch losses (each normalized by its own max
-    length, like the reference's per-batch denominator).
+    The micro-batch split is strided so data-parallel shards stay local
+    (see _split_micro).  Semantics: the loss is the mean of
+    per-micro-batch losses (each normalized by its own max length, like
+    the reference's per-batch denominator), and each micro-batch draws
+    its own dropout key — equal to the full-batch update in expectation,
+    not bitwise (WaveGlow's RNG-free step IS bitwise-equal).
     """
 
     def loss_fn(params, model_state, batch, key):
@@ -96,35 +151,11 @@ def make_tacotron2_train_step(cfg: Tacotron2Config, optimizer,
                 loss_fn, has_aux=True
             )(params, model_state, batch, key)
         else:
-            micro = jax.tree_util.tree_map(
-                lambda x: x.reshape(grad_accum, x.shape[0] // grad_accum,
-                                    *x.shape[1:]),
-                batch,
+            new_state, loss, grads = _accumulate_micro(
+                jax.value_and_grad(loss_fn, has_aux=True),
+                params, model_state, _split_micro(batch, grad_accum),
+                jax.random.split(key, grad_accum), grad_accum,
             )
-            keys = jax.random.split(key, grad_accum)
-
-            def acc(carry, inp):
-                state, loss_sum, grad_sum = carry
-                mb, k = inp
-                (loss, state), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(params, state, mb, k)
-                grad_sum = jax.tree_util.tree_map(
-                    lambda a, g: a + g, grad_sum, grads
-                )
-                return (state, loss_sum + loss, grad_sum), None
-
-            zeros = jax.tree_util.tree_map(
-                lambda p: jnp.zeros(jnp.shape(p), jnp.float32), params
-            )
-            (new_state, loss, grads), _ = jax.lax.scan(
-                acc,
-                (model_state, jnp.zeros((), jnp.float32), zeros),
-                (micro, keys),
-            )
-            inv = 1.0 / grad_accum
-            loss = loss * inv
-            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
         gnorm = global_norm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -179,29 +210,16 @@ def make_waveglow_train_step(cfg: WaveGlowConfig, optimizer, sigma: float,
         if grad_accum == 1:
             loss, grads = jax.value_and_grad(loss_fn)(params, batch)
         else:
-            micro = jax.tree_util.tree_map(
-                lambda x: x.reshape(grad_accum, x.shape[0] // grad_accum,
-                                    *x.shape[1:]),
-                batch,
-            )
+            vg = jax.value_and_grad(loss_fn)
 
-            def acc(carry, mb):
-                loss_sum, grad_sum = carry
-                loss, grads = jax.value_and_grad(loss_fn)(params, mb)
-                grad_sum = jax.tree_util.tree_map(
-                    lambda a, g: a + g, grad_sum, grads
-                )
-                return (loss_sum + loss, grad_sum), None
+            def vg_fn(p, state, mb, _key):
+                loss, grads = vg(p, mb)
+                return (loss, state), grads
 
-            zeros = jax.tree_util.tree_map(
-                lambda p: jnp.zeros(jnp.shape(p), jnp.float32), params
+            _, loss, grads = _accumulate_micro(
+                vg_fn, params, None, _split_micro(batch, grad_accum),
+                jnp.zeros((grad_accum,), jnp.uint32), grad_accum,
             )
-            (loss, grads), _ = jax.lax.scan(
-                acc, (jnp.zeros((), jnp.float32), zeros), micro
-            )
-            inv = 1.0 / grad_accum
-            loss = loss * inv
-            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
         gnorm = global_norm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -82,8 +82,9 @@ def test_binary_malformed_inputs_raise_cleanly(net, tmp_path):
     write_nnet3_binary(net, bin_path)
     blob = open(bin_path, "rb").read()
 
-    # truncation at several depths: header-only, mid-token, mid-params
-    for cut in (1, 2, 10, len(blob) // 2, len(blob) - 4):
+    # truncation at several depths: empty, header-only, mid-token,
+    # mid-params
+    for cut in (0, 1, 2, 10, len(blob) // 2, len(blob) - 4):
         p = str(tmp_path / f"trunc_{cut}.raw")
         with open(p, "wb") as f:
             f.write(blob[:cut])

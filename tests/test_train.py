@@ -561,3 +561,21 @@ def test_dp_bf16_grad_accum_compose(rng):
     for leaf in jax.tree.leaves(out.params):
         if jnp.issubdtype(leaf.dtype, jnp.floating):
             assert leaf.dtype == jnp.float32
+
+
+def test_grad_accum_rejects_indivisible_batch(rng):
+    """batch_size % grad_accum != 0 fails fast with the real constraint."""
+    cfg = WaveGlowConfig(
+        n_mel_channels=8, hop_length=16, n_flows=2, n_group=4,
+        n_early_every=4, n_early_size=2, wn_n_layers=2, wn_n_channels=16,
+        wn_kernel_size=3, upsample_kernel_size=32,
+    )
+    params = init_waveglow(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(1e-3)
+    opt_state = optimizer.init(params)
+    step = make_waveglow_train_step(cfg, optimizer, sigma=0.7071,
+                                    donate=False, grad_accum=2)
+    mel = jnp.asarray(rng.randn(3, 8, 16), jnp.float32)
+    audio = jnp.asarray(rng.randn(3, 256) * 0.1, jnp.float32)
+    with pytest.raises(ValueError, match="grad_accum.*divide"):
+        step(params, opt_state, (mel, audio))
