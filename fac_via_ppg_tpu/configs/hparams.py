@@ -139,6 +139,14 @@ _TPU_EXTENSIONS: Dict[str, Any] = {
     # effective batch is batch_size; device memory scales with
     # batch_size / grad_accum_steps).  1 disables.
     "grad_accum_steps": 1,
+    # Learning-rate schedule (train/optim.make_lr_schedule): "constant"
+    # (reference behavior), "exponential", or "cosine"; linear warmup of
+    # lr_warmup_steps precedes any of them.
+    "lr_schedule": "constant",
+    "lr_warmup_steps": 0,
+    "lr_decay_steps": 0,
+    "lr_decay_rate": 1.0,
+    "lr_min_factor": 0.0,
     # Number of devices along the data axis of the jax mesh ("" = all).
     "data_parallel_devices": "",
     # Devices along the 'model' mesh axis: tensor-parallel sharding of the

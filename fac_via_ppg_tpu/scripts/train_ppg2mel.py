@@ -239,12 +239,25 @@ def _epoch_loop(hparams, cfg, mesh, params, model_state, opt_state, optimizer,
                 train_step, eval_step, train_loader, valset, logger, key,
                 learning_rate, iteration, epoch_offset, output_directory,
                 pad_to, place, prefetch, saver):
+    from fac_via_ppg_tpu.train.optim import make_lr_schedule
+
+    lr_schedule = make_lr_schedule(
+        learning_rate,
+        schedule=getattr(hparams, "lr_schedule", "constant"),
+        warmup_steps=getattr(hparams, "lr_warmup_steps", 0),
+        decay_steps=getattr(hparams, "lr_decay_steps", 0),
+        decay_rate=getattr(hparams, "lr_decay_rate", 1.0),
+        min_factor=getattr(hparams, "lr_min_factor", 0.0),
+    )
     for epoch in range(epoch_offset, hparams.epochs):
         print("Epoch: {}".format(epoch))
         # Collation + H2D transfer of batch N+1 overlap step N on device.
         for device_batch in prefetch(train_loader, place, depth=2):
             start = time.perf_counter()
-            # reference rewrites lr every iteration (train_ppg2mel.py:234)
+            # reference rewrites lr every iteration (train_ppg2mel.py:234);
+            # the schedule is a TPU extension and is the constant
+            # learning_rate by default
+            learning_rate = float(lr_schedule(iteration))
             opt_state.hyperparams["learning_rate"] = learning_rate
 
             key, k_step = jax.random.split(key)

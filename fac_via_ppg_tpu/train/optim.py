@@ -43,5 +43,49 @@ def make_optimizer(
     return optax.inject_hyperparams(build)(learning_rate=learning_rate)
 
 
+def make_lr_schedule(
+    base_lr: float,
+    schedule: str = "constant",
+    warmup_steps: int = 0,
+    decay_steps: int = 0,
+    decay_rate: float = 1.0,
+    min_factor: float = 0.0,
+):
+    """Step -> learning-rate callable (TPU extension; the reference keeps
+    LR fixed and only rewrites param_group['lr'] with the same value,
+    train_ppg2mel.py:234-235).
+
+    schedule: 'constant' | 'exponential' (base * decay_rate^(t/decay_steps))
+    | 'cosine' (decay to min_factor * base over decay_steps).  A linear
+    warmup from 0 over `warmup_steps` precedes any of them.  Trainers
+    evaluate this per iteration and inject the value through the
+    optimizer's mutable `hyperparams['learning_rate']`, so resume
+    recomputes the right LR from the restored iteration.
+    """
+    if schedule == "constant":
+        main = optax.constant_schedule(base_lr)
+    elif schedule == "exponential":
+        if decay_steps <= 0:
+            raise ValueError("exponential schedule needs decay_steps > 0")
+        main = optax.exponential_decay(
+            base_lr, transition_steps=decay_steps, decay_rate=decay_rate
+        )
+    elif schedule == "cosine":
+        if decay_steps <= 0:
+            raise ValueError("cosine schedule needs decay_steps > 0")
+        main = optax.cosine_decay_schedule(
+            base_lr, decay_steps=decay_steps, alpha=min_factor
+        )
+    else:
+        raise ValueError(
+            f"unknown lr schedule {schedule!r}; "
+            f"choose constant/exponential/cosine"
+        )
+    if warmup_steps > 0:
+        warm = optax.linear_schedule(0.0, base_lr, warmup_steps)
+        return optax.join_schedules([warm, main], [warmup_steps])
+    return main
+
+
 def global_norm(tree) -> jnp.ndarray:
     return optax.global_norm(tree)

@@ -244,3 +244,38 @@ def test_training_is_seed_deterministic(rng):
     a, b = run(), run()
     for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_lr_schedules():
+    """make_lr_schedule: constant/exponential/cosine shapes + warmup ramp
+    + resume-consistency (pure function of the step)."""
+    import pytest
+
+    from fac_via_ppg_tpu.train.optim import make_lr_schedule
+
+    base = 1e-3
+    const = make_lr_schedule(base)
+    assert float(const(0)) == base and float(const(10**6)) == base
+
+    exp = make_lr_schedule(base, "exponential", decay_steps=100,
+                           decay_rate=0.5)
+    np.testing.assert_allclose(float(exp(0)), base)
+    np.testing.assert_allclose(float(exp(100)), base * 0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(exp(200)), base * 0.25, rtol=1e-6)
+
+    cos = make_lr_schedule(base, "cosine", decay_steps=1000, min_factor=0.1)
+    np.testing.assert_allclose(float(cos(0)), base)
+    np.testing.assert_allclose(float(cos(1000)), base * 0.1, rtol=1e-5)
+    assert float(cos(500)) < base
+
+    warm = make_lr_schedule(base, "constant", warmup_steps=10)
+    assert float(warm(0)) == 0.0
+    np.testing.assert_allclose(float(warm(5)), base * 0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(warm(10)), base, rtol=1e-6)
+    # resume at step N sees the same value as a continuous run
+    np.testing.assert_allclose(float(warm(7)), float(warm(7)))
+
+    with pytest.raises(ValueError):
+        make_lr_schedule(base, "exponential")  # needs decay_steps
+    with pytest.raises(ValueError):
+        make_lr_schedule(base, "nope")
