@@ -37,7 +37,8 @@ from fac_via_ppg_tpu.train.step import make_waveglow_train_step
 def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
           sigma, iters_per_checkpoint, batch_size, seed, checkpoint_path,
           data_config=None, waveglow_config=None, train_dtype="float32",
-          grad_accum_steps=1):
+          grad_accum_steps=1, lr_schedule="constant", lr_warmup_steps=0,
+          lr_decay_steps=0, lr_decay_rate=1.0, lr_min_factor=0.0):
     """Signature mirrors the reference train() (train_waveglow.py:66).
 
     `train_dtype` is a TPU extension: "bfloat16" runs the flows' forward/
@@ -108,9 +109,16 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
     saver = ckpt.AsyncCheckpointSaver()
     epoch_offset = max(0, int(iteration / max(len(train_loader), 1)))
     try:
+        from fac_via_ppg_tpu.train.optim import make_lr_schedule
+
+        schedule = make_lr_schedule(
+            learning_rate, schedule=lr_schedule,
+            warmup_steps=lr_warmup_steps, decay_steps=lr_decay_steps,
+            decay_rate=lr_decay_rate, min_factor=lr_min_factor,
+        )
         result = _waveglow_epoch_loop(
             epochs, epoch_offset, train_loader, place, step, params,
-            opt_state, learning_rate, iters_per_checkpoint,
+            opt_state, schedule, iters_per_checkpoint,
             output_directory, logger, saver, iteration,
         )
     except BaseException:
@@ -128,16 +136,19 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
 
 
 def _waveglow_epoch_loop(epochs, epoch_offset, train_loader, place, step,
-                         params, opt_state, learning_rate,
+                         params, opt_state, lr_schedule,
                          iters_per_checkpoint, output_directory, logger,
                          saver, iteration):
     from fac_via_ppg_tpu.data.prefetch import prefetch
 
+    learning_rate = float(lr_schedule(iteration))
     for epoch in range(epoch_offset, epochs):
         print("Epoch: {}".format(epoch))
         # batch N+1 collation/H2D overlaps step N on device
         for device_batch in prefetch(train_loader, place, depth=2):
             start = time.perf_counter()
+            learning_rate = float(lr_schedule(iteration))
+            opt_state.hyperparams["learning_rate"] = learning_rate
             out = step(params, opt_state, device_batch)
             params, opt_state = out.params, out.opt_state
             reduced_loss = float(out.loss)
