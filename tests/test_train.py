@@ -579,3 +579,48 @@ def test_grad_accum_rejects_indivisible_batch(rng):
     audio = jnp.asarray(rng.randn(3, 256) * 0.1, jnp.float32)
     with pytest.raises(ValueError, match="grad_accum.*divide"):
         step(params, opt_state, (mel, audio))
+
+
+def test_train_waveglow_lr_schedule_wired(tmp_path, rng):
+    """lr_warmup_steps through the real trainer: the iteration-0
+    checkpoint records the warmup LR (0.0), not the base LR."""
+    import glob
+    import os
+
+    from scipy.io import wavfile
+
+    from fac_via_ppg_tpu.scripts.train_waveglow import train
+
+    wavs = []
+    for i in range(8):
+        t = np.arange(6000) / 16000.0
+        p = str(tmp_path / f"w{i}.wav")
+        wavfile.write(p, 16000, (np.sin(2 * np.pi * (200 + 20 * i) * t)
+                                 * 9000).astype(np.int16))
+        wavs.append(p)
+    filelist = str(tmp_path / "files.txt")
+    with open(filelist, "w") as f:
+        f.write("\n".join(wavs) + "\n")
+
+    data_config = dict(
+        training_files=filelist, segment_length=2048, sampling_rate=16000,
+        filter_length=256, hop_length=64, win_length=256,
+        mel_fmin=0.0, mel_fmax=8000.0, n_mel_channels=16,
+    )
+    waveglow_config = dict(
+        n_mel_channels=16, hop_length=64, n_flows=2, n_group=8,
+        n_early_every=4, n_early_size=2,
+        WN_config=dict(n_layers=2, n_channels=16, kernel_size=3),
+    )
+    out_dir = str(tmp_path / "run")
+    train(
+        1, 0, "", out_dir, epochs=1, learning_rate=1e-4, sigma=0.7071,
+        iters_per_checkpoint=1, batch_size=8, seed=1,
+        checkpoint_path="", data_config=data_config,
+        waveglow_config=waveglow_config,
+        lr_schedule="constant", lr_warmup_steps=4,
+    )
+    cks = glob.glob(os.path.join(out_dir, "waveglow_0"))
+    assert cks
+    restored = ckpt.load_checkpoint(cks[0])
+    assert float(restored["learning_rate"]) == 0.0  # warmup step 0
