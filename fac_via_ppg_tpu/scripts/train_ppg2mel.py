@@ -241,8 +241,14 @@ def _epoch_loop(hparams, cfg, mesh, params, model_state, opt_state, optimizer,
                 pad_to, place, prefetch, saver):
     from fac_via_ppg_tpu.train.optim import make_lr_schedule
 
+    # `learning_rate` stays the BASE rate: checkpoints store it (so
+    # use_saved_learning_rate rebases correctly on resume — saving the
+    # scheduled per-step value would compound decay, or freeze LR at a
+    # warmup 0.0); the schedule recomputes the per-step value from the
+    # restored iteration.
+    base_lr = learning_rate
     lr_schedule = make_lr_schedule(
-        learning_rate,
+        base_lr,
         schedule=getattr(hparams, "lr_schedule", "constant"),
         warmup_steps=getattr(hparams, "lr_warmup_steps", 0),
         decay_steps=getattr(hparams, "lr_decay_steps", 0),
@@ -257,8 +263,8 @@ def _epoch_loop(hparams, cfg, mesh, params, model_state, opt_state, optimizer,
             # reference rewrites lr every iteration (train_ppg2mel.py:234);
             # the schedule is a TPU extension and is the constant
             # learning_rate by default
-            learning_rate = float(lr_schedule(iteration))
-            opt_state.hyperparams["learning_rate"] = learning_rate
+            current_lr = lr_schedule(iteration)
+            opt_state.hyperparams["learning_rate"] = current_lr
 
             key, k_step = jax.random.split(key)
             out = train_step(
@@ -279,7 +285,7 @@ def _epoch_loop(hparams, cfg, mesh, params, model_state, opt_state, optimizer,
                 )
                 if logger is not None:
                     logger.log_training(
-                        reduced_loss, grad_norm, learning_rate, duration,
+                        reduced_loss, grad_norm, current_lr, duration,
                         iteration,
                     )
 

@@ -118,7 +118,7 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
         )
         result = _waveglow_epoch_loop(
             epochs, epoch_offset, train_loader, place, step, params,
-            opt_state, schedule, iters_per_checkpoint,
+            opt_state, learning_rate, schedule, iters_per_checkpoint,
             output_directory, logger, saver, iteration,
         )
     except BaseException:
@@ -136,19 +136,21 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
 
 
 def _waveglow_epoch_loop(epochs, epoch_offset, train_loader, place, step,
-                         params, opt_state, lr_schedule,
+                         params, opt_state, base_lr, lr_schedule,
                          iters_per_checkpoint, output_directory, logger,
                          saver, iteration):
+    """Checkpoints store `base_lr`, not the scheduled per-step value —
+    resume rebuilds the schedule from the base and the restored iteration
+    (saving a mid-warmup/mid-decay value would restart training at the
+    wrong, possibly zero, LR)."""
     from fac_via_ppg_tpu.data.prefetch import prefetch
 
-    learning_rate = float(lr_schedule(iteration))
     for epoch in range(epoch_offset, epochs):
         print("Epoch: {}".format(epoch))
         # batch N+1 collation/H2D overlaps step N on device
         for device_batch in prefetch(train_loader, place, depth=2):
             start = time.perf_counter()
-            learning_rate = float(lr_schedule(iteration))
-            opt_state.hyperparams["learning_rate"] = learning_rate
+            opt_state.hyperparams["learning_rate"] = lr_schedule(iteration)
             out = step(params, opt_state, device_batch)
             params, opt_state = out.params, out.opt_state
             reduced_loss = float(out.loss)
@@ -169,7 +171,7 @@ def _waveglow_epoch_loop(epochs, epoch_offset, train_loader, place, step,
                     # non-blocking: readback + write happen on a saver
                     # thread while training continues
                     saver.save(
-                        path, params, opt_state, learning_rate, iteration
+                        path, params, opt_state, base_lr, iteration
                     )
             iteration += 1
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -83,8 +84,17 @@ def make_lr_schedule(
         )
     if warmup_steps > 0:
         warm = optax.linear_schedule(0.0, base_lr, warmup_steps)
-        return optax.join_schedules([warm, main], [warmup_steps])
-    return main
+        main = optax.join_schedules([warm, main], [warmup_steps])
+
+    def evaluate(step) -> float:
+        # optax schedules compute with jnp: pin them to the CPU backend so
+        # the per-iteration evaluation never round-trips the accelerator
+        # (over this session's tunnel a single readback costs ~25 ms —
+        # a third of a training step).
+        with jax.default_device(jax.devices("cpu")[0]):
+            return float(main(step))
+
+    return evaluate
 
 
 def global_norm(tree) -> jnp.ndarray:

@@ -272,8 +272,11 @@ def test_lr_schedules():
     assert float(warm(0)) == 0.0
     np.testing.assert_allclose(float(warm(5)), base * 0.5, rtol=1e-6)
     np.testing.assert_allclose(float(warm(10)), base, rtol=1e-6)
-    # resume at step N sees the same value as a continuous run
-    np.testing.assert_allclose(float(warm(7)), float(warm(7)))
+    # resume at step N sees the same value as a continuous run: a
+    # freshly constructed schedule agrees with the original at every step
+    warm2 = make_lr_schedule(base, "constant", warmup_steps=10)
+    for step in (0, 3, 7, 10, 500):
+        np.testing.assert_allclose(float(warm2(step)), float(warm(step)))
 
     with pytest.raises(ValueError):
         make_lr_schedule(base, "exponential")  # needs decay_steps

@@ -623,4 +623,19 @@ def test_train_waveglow_lr_schedule_wired(tmp_path, rng):
     cks = glob.glob(os.path.join(out_dir, "waveglow_0"))
     assert cks
     restored = ckpt.load_checkpoint(cks[0])
-    assert float(restored["learning_rate"]) == 0.0  # warmup step 0
+    # checkpoints store the BASE lr (resume rebuilds the schedule from it
+    # + the restored iteration; storing the mid-warmup 0.0 would freeze a
+    # use_saved_learning_rate resume at LR 0)
+    assert float(restored["learning_rate"]) == 1e-4
+    # ...but the step itself ran at the warmup LR of 0.0: params in the
+    # post-step checkpoint are bitwise the trainer's own init
+    from fac_via_ppg_tpu.configs.hparams import WaveGlowConfig as WGC
+    from fac_via_ppg_tpu.models.waveglow import init_waveglow as init_wg
+
+    k = jax.random.PRNGKey(1)
+    _, k_init = jax.random.split(k)
+    params_init = init_wg(k_init, WGC.from_dict(waveglow_config))
+    saved = ckpt.load_checkpoint(cks[0], like={"params": params_init})
+    for a, b in zip(jax.tree.leaves(saved["params"]),
+                    jax.tree.leaves(params_init)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
