@@ -105,6 +105,14 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
         rtf_f32, _ = measure(None, b=f32_batch)
         detail["rtf_float32"] = round(rtf_f32, 2)
         detail["f32_batch"] = f32_batch
+        if f32_batch != batch:
+            detail["f32_note"] = (
+                f"f32 measured at batch {f32_batch}, not the headline "
+                f"batch {batch}: the f32 batch-{batch} program "
+                "deterministically fails this tunnel's remote-compile "
+                "helper (HTTP 500), and f32 throughput saturates by "
+                "batch 16 (docs/PERF.md)"
+            )
     except Exception as exc:  # pragma: no cover
         detail["rtf_float32_error"] = str(exc)[:200]
     return {

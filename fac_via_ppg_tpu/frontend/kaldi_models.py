@@ -412,3 +412,48 @@ def read_context_dependency(path: str) -> ContextDependency:
         to_pdf = _read_event_map(f)
         _expect_token(f, "EndContextDependency")
         return ContextDependency(n, p, to_pdf)
+
+
+def _write_event_map(f: BinaryIO, node: EventMapNode):
+    """Iterative EventMap writer (roundtrip twin of _read_event_map; real
+    trees nest thousands deep, so no recursion).  The work stack holds
+    either a node to emit or a closing token to write."""
+    stack: List = [node]
+    while stack:
+        item = stack.pop()
+        if isinstance(item, str):  # deferred closing token
+            _write_token(f, item)
+            continue
+        if item is None:
+            _write_token(f, "NULL")
+        elif isinstance(item, ConstantEventMap):
+            _write_token(f, "CE")
+            _write_i(f, item.answer)
+        elif isinstance(item, SplitEventMap):
+            _write_token(f, "SE")
+            _write_i(f, item.key)
+            _write_int_vector(f, item.yes_set)
+            _write_token(f, "{")
+            stack += ["}", item.no, item.yes]
+        elif isinstance(item, TableEventMap):
+            _write_token(f, "TE")
+            _write_i(f, item.key)
+            _write_i(f, len(item.table))
+            _write_token(f, "(")
+            stack.append(")")
+            stack += list(reversed(item.table))
+        else:
+            raise KaldiIOError(f"Unknown EventMap node {type(item)!r}")
+
+
+def write_context_dependency(path: str, tree: ContextDependency):
+    """Write a binary Kaldi decision tree (roundtrip twin of
+    read_context_dependency)."""
+    with open(path, "wb") as f:
+        f.write(_BINARY_MARKER)
+        _write_token(f, "ContextDependency")
+        _write_i(f, tree.context_width)
+        _write_i(f, tree.central_position)
+        _write_token(f, "ToPdf")
+        _write_event_map(f, tree.to_pdf)
+        _write_token(f, "EndContextDependency")

@@ -71,6 +71,10 @@ def parse_descriptor(s: str) -> Descriptor:
 
     def parse() -> Descriptor:
         nonlocal pos
+        if pos >= len(tokens):
+            raise ValueError(
+                f"truncated descriptor {s!r}: unexpected end of input"
+            )
         tok = tokens[pos]
         pos += 1
         if pos < len(tokens) and tokens[pos] == "(":
@@ -121,11 +125,17 @@ def parse_descriptor(s: str) -> Descriptor:
 
     def _expect(t: str):
         nonlocal pos
-        if tokens[pos] != t:
+        if pos >= len(tokens) or tokens[pos] != t:
             raise ValueError(f"Expected {t!r} at {tokens[pos:pos+4]}")
         pos += 1
 
-    d = parse()
+    try:
+        d = parse()
+    except IndexError:
+        # a mid-operand token lookahead ran off a truncated string
+        raise ValueError(
+            f"truncated descriptor {s!r}: unexpected end of input"
+        ) from None
     if pos != len(tokens):
         raise ValueError(f"Trailing descriptor tokens: {tokens[pos:]}")
     return d

@@ -250,7 +250,18 @@ def _parse_config_line(line: str, nodes, node_order):
         return
     kind_tok, rest = line.split(None, 1)
     kv = _parse_config_kv(rest)
-    name = kv["name"]
+    try:
+        name = kv["name"]
+        _parse_config_fields(kind_tok, kv, nodes, name)
+    except KeyError as exc:
+        raise ValueError(
+            f"truncated or corrupt nnet3 config line {line!r}: "
+            f"missing field {exc}"
+        ) from None
+    node_order.append(name)
+
+
+def _parse_config_fields(kind_tok, kv, nodes, name):
     if kind_tok == "input-node":
         nodes[name] = Node("input", name, dim=int(kv["dim"]))
     elif kind_tok == "component-node":
@@ -264,7 +275,6 @@ def _parse_config_line(line: str, nodes, node_order):
                            descriptor=parse_descriptor(kv["input-node"]),
                            dim=int(kv["dim"]),
                            dim_offset=int(kv["dim-offset"]))
-    node_order.append(name)
 
 
 def _reshape_params(net: Nnet3):

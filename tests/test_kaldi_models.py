@@ -159,3 +159,265 @@ def test_real_kaldi_tree_parses():
         elif node is not None:
             stack += [c for c in node.table if c is not None]
     assert leaves >= 5816
+
+
+# ==========================================================================
+# Property-based fuzzing (VERDICT r2 item 8): seeded random
+# generate -> write -> read -> compare, plus malformed-input rejection.
+# No real Kaldi-produced .mdl/den.fst exists in this environment, so the
+# roundtrip fuzz over the full structural space (Triples vs Tuples, empty
+# FSTs, deep SE nesting, NULL table slots) is the strongest available
+# cross-check of the binary layouts.
+# ==========================================================================
+
+from fac_via_ppg_tpu.frontend.kaldi_models import (  # noqa: E402
+    ContextDependency,
+    TableEventMap,
+    read_fst,
+    read_transition_model,
+    write_context_dependency,
+)
+
+
+def _random_topology(rng):
+    n_entries = rng.randint(1, 4)
+    entries = []
+    for _ in range(n_entries):
+        n_states = rng.randint(2, 6)
+        states = []
+        for s in range(n_states - 1):
+            n_trans = rng.randint(0, 4)
+            trans = [
+                (int(rng.randint(0, n_states)),
+                 float(np.round(rng.rand(), 6)))
+                for _ in range(n_trans)
+            ]
+            states.append(
+                HmmState(int(rng.randint(0, 40)), int(rng.randint(0, 40)),
+                         trans)
+            )
+        states.append(HmmState(-1, -1, []))  # non-emitting final
+        entries.append(states)
+    n_phones = rng.randint(1, 8)
+    phones = np.sort(rng.choice(np.arange(1, 50), n_phones, replace=False))
+    phone2idx = np.full(int(phones.max()) + 1, -1, np.int64)
+    for ph in phones:
+        phone2idx[ph] = rng.randint(0, n_entries)
+    return HmmTopology(phones, phone2idx, entries)
+
+
+def _random_transition_model(rng):
+    topo = _random_topology(rng)
+    wide = bool(rng.rand() < 0.5)  # Tuples vs legacy Triples
+    tuples = []
+    for _ in range(rng.randint(1, 20)):
+        fwd = int(rng.randint(0, 100))
+        self_loop = int(rng.randint(0, 100)) if wide else fwd
+        tuples.append(
+            TransitionTuple(
+                int(rng.choice(topo.phones)), int(rng.randint(0, 5)),
+                fwd, self_loop,
+            )
+        )
+    if wide and all(t.forward_pdf == t.self_loop_pdf for t in tuples):
+        tuples[0].self_loop_pdf = tuples[0].forward_pdf + 1
+    n_trans = rng.randint(1, 40)
+    log_probs = rng.randn(n_trans).astype(np.float32)
+    return TransitionModel(topo, tuples, log_probs)
+
+
+def _topo_equal(a, b):
+    np.testing.assert_array_equal(a.phones, b.phones)
+    np.testing.assert_array_equal(a.phone2idx, b.phone2idx)
+    assert len(a.entries) == len(b.entries)
+    for ea, eb in zip(a.entries, b.entries):
+        assert len(ea) == len(eb)
+        for sa, sb in zip(ea, eb):
+            assert sa.forward_pdf_class == sb.forward_pdf_class
+            assert sa.self_loop_pdf_class == sb.self_loop_pdf_class
+            assert len(sa.transitions) == len(sb.transitions)
+            for (da, pa), (db, pb) in zip(sa.transitions, sb.transitions):
+                assert da == db
+                np.testing.assert_allclose(pa, pb, rtol=1e-6)
+
+
+def test_fuzz_transition_model_roundtrip(tmp_path):
+    for case in range(40):
+        rng = np.random.RandomState(1000 + case)
+        model = _random_transition_model(rng)
+        path = str(tmp_path / f"m{case}.mdl")
+        write_transition_model(path, model)
+        back = read_transition_model(path)
+        _topo_equal(back.topology, model.topology)
+        assert [
+            (t.phone, t.hmm_state, t.forward_pdf, t.self_loop_pdf)
+            for t in back.tuples
+        ] == [
+            (t.phone, t.hmm_state, t.forward_pdf, t.self_loop_pdf)
+            for t in model.tuples
+        ]
+        np.testing.assert_allclose(back.log_probs, model.log_probs,
+                                   rtol=1e-6)
+        assert back.num_pdfs == model.num_pdfs
+
+
+def _random_fst(rng):
+    n_states = int(rng.randint(0, 12))
+    states = []
+    inf = float("inf")
+    for _ in range(n_states):
+        final = float(np.float32(rng.randn())) if rng.rand() < 0.4 else inf
+        arcs = [
+            StdArc(int(rng.randint(0, 50)), int(rng.randint(0, 50)),
+                   float(np.float32(rng.randn())),
+                   int(rng.randint(0, n_states)))
+            for _ in range(rng.randint(0, 5))
+        ]
+        states.append(FstState(final, arcs))
+    start = int(rng.randint(0, n_states)) if n_states else -1
+    return VectorFst(start, states)
+
+
+def test_fuzz_fst_roundtrip(tmp_path):
+    for case in range(40):
+        rng = np.random.RandomState(2000 + case)
+        fst = _random_fst(rng)
+        path = str(tmp_path / f"f{case}.fst")
+        write_fst(path, fst)
+        back = read_fst(path)
+        assert back.start == fst.start
+        assert len(back.states) == len(fst.states)
+        for sa, sb in zip(back.states, fst.states):
+            assert sa.final == sb.final or (
+                np.isinf(sa.final) and np.isinf(sb.final)
+            )
+            assert sa.arcs == sb.arcs
+
+
+def _random_event_map(rng, depth):
+    kinds = ["CE", "SE", "TE", "NULL"] if depth > 0 else ["CE", "NULL"]
+    kind = kinds[rng.randint(0, len(kinds))]
+    if kind == "NULL":
+        return None
+    if kind == "CE":
+        return ConstantEventMap(int(rng.randint(0, 6000)))
+    if kind == "SE":
+        n_yes = rng.randint(1, 8)
+        yes_set = np.sort(
+            rng.choice(np.arange(0, 400), n_yes, replace=False)
+        )
+        return SplitEventMap(
+            int(rng.randint(-1, 3)), yes_set,
+            _random_event_map(rng, depth - 1),
+            _random_event_map(rng, depth - 1),
+        )
+    table = [
+        _random_event_map(rng, depth - 1) for _ in range(rng.randint(0, 6))
+    ]
+    return TableEventMap(int(rng.randint(-1, 3)), table)
+
+
+def _em_equal(a, b):
+    stack = [(a, b)]
+    while stack:
+        x, y = stack.pop()
+        assert type(x) is type(y), (type(x), type(y))
+        if x is None:
+            continue
+        if isinstance(x, ConstantEventMap):
+            assert x.answer == y.answer
+        elif isinstance(x, SplitEventMap):
+            assert x.key == y.key
+            np.testing.assert_array_equal(x.yes_set, y.yes_set)
+            stack += [(x.yes, y.yes), (x.no, y.no)]
+        else:
+            assert x.key == y.key and len(x.table) == len(y.table)
+            stack += list(zip(x.table, y.table))
+
+
+def test_fuzz_context_dependency_roundtrip(tmp_path):
+    for case in range(40):
+        rng = np.random.RandomState(3000 + case)
+        tree = ContextDependency(
+            int(rng.randint(1, 5)), int(rng.randint(0, 3)),
+            _random_event_map(rng, depth=5),
+        )
+        path = str(tmp_path / f"t{case}.tree")
+        write_context_dependency(path, tree)
+        back = read_context_dependency(path)
+        assert back.context_width == tree.context_width
+        assert back.central_position == tree.central_position
+        _em_equal(back.to_pdf, tree.to_pdf)
+        assert back.num_pdfs == tree.num_pdfs
+
+
+def test_deep_se_chain_roundtrip(tmp_path):
+    """Real trees nest thousands of SE nodes deep; both the reader and the
+    writer must be iterative (a recursive one dies at Python's default
+    recursion limit well before Kaldi scale)."""
+    depth = 4000
+    node = ConstantEventMap(7)
+    for i in range(depth):
+        node = SplitEventMap(1, np.array([i % 300]), node,
+                             ConstantEventMap(i % 100))
+    tree = ContextDependency(3, 1, node)
+    path = str(tmp_path / "deep.tree")
+    write_context_dependency(path, tree)
+    back = read_context_dependency(path)
+    n = 0
+    cur = back.to_pdf
+    while isinstance(cur, SplitEventMap):
+        n += 1
+        cur = cur.yes
+    assert n == depth and cur.answer == 7
+    assert back.num_pdfs == tree.num_pdfs
+
+
+def test_fuzz_truncation_rejected(tmp_path):
+    """Every strict prefix of a valid artifact must raise a clean typed
+    error (never hang, never return a silently-wrong object)."""
+    import struct as _struct
+
+    rng = np.random.RandomState(42)
+    model = _random_transition_model(rng)
+    mdl_path = str(tmp_path / "full.mdl")
+    write_transition_model(mdl_path, model)
+    tree = ContextDependency(3, 1, _random_event_map(rng, depth=4))
+    tree_path = str(tmp_path / "full.tree")
+    write_context_dependency(tree_path, tree)
+    fst = _random_fst(np.random.RandomState(43))
+    fst_path = str(tmp_path / "full.fst")
+    write_fst(fst_path, fst)
+
+    errors = (ValueError, EOFError, _struct.error)  # KaldiIOError is a VE
+    for src, reader in (
+        (mdl_path, read_transition_model),
+        (tree_path, read_context_dependency),
+        (fst_path, read_fst),
+    ):
+        data = open(src, "rb").read()
+        cuts = sorted({int(c) for c in
+                       np.random.RandomState(7).randint(0, len(data), 12)})
+        for cut in cuts:
+            p = str(tmp_path / "cut.bin")
+            with open(p, "wb") as f:
+                f.write(data[:cut])
+            with pytest.raises(errors):
+                reader(p)
+
+
+def test_fuzz_token_corruption_rejected(tmp_path):
+    """Corrupting a structural token must raise, not mis-parse."""
+    rng = np.random.RandomState(4242)
+    model = _random_transition_model(rng)
+    path = str(tmp_path / "tok.mdl")
+    write_transition_model(path, model)
+    data = bytearray(open(path, "rb").read())
+    # flip one character inside the '<TransitionModel>' token
+    idx = bytes(data).index(b"<TransitionModel>") + 3
+    data[idx] ^= 0x15
+    bad = str(tmp_path / "tok_bad.mdl")
+    with open(bad, "wb") as f:
+        f.write(bytes(data))
+    with pytest.raises(ValueError):
+        read_transition_model(bad)

@@ -137,3 +137,64 @@ def test_kaldi_io_malformed_matrix_raises(tmp_path, rng):
         f.write(b"\x00B\x00XYZW" + bytes(40))
     with pytest.raises(Exception):
         kaldi_io.read_matrix(p)
+
+
+def test_fuzz_nnet3_binary_roundtrip(tmp_path):
+    """Seeded size sweep: write_nnet3_binary -> load_nnet3 must reproduce
+    every node and component parameter exactly (structure compare — no
+    forward, so no per-shape compile cost)."""
+    from fac_via_ppg_tpu.frontend.nnet3 import _descriptor_str
+
+    for case in range(12):
+        rng = np.random.RandomState(5000 + case)
+        net = nnet3.make_random_tdnn(
+            input_dim=int(rng.randint(4, 48)),
+            output_dim=int(rng.randint(8, 200)),
+            hidden_dim=int(rng.randint(8, 64)),
+            num_layers=int(rng.randint(1, 5)),
+            seed=int(rng.randint(0, 10000)),
+        )
+        path = str(tmp_path / f"n{case}.raw")
+        write_nnet3_binary(net, path)
+        back = nnet3.load_nnet3(path)
+
+        assert back.node_order == net.node_order
+        for name in net.nodes:
+            a, b = net.nodes[name], back.nodes[name]
+            assert (a.kind, a.dim, a.component) == (
+                b.kind, b.dim, b.component
+            )
+            if a.descriptor is not None:
+                assert _descriptor_str(a.descriptor) == _descriptor_str(
+                    b.descriptor
+                )
+        assert set(back.components) == set(net.components)
+        for name, comp in net.components.items():
+            bc = back.components[name]
+            assert bc.kind == comp.kind
+            for key, val in comp.attrs.items():
+                if isinstance(val, np.ndarray):
+                    np.testing.assert_allclose(
+                        np.asarray(bc.attrs[key], np.float64),
+                        np.asarray(val, np.float64),
+                        rtol=1e-6, atol=1e-7,
+                        err_msg=f"{name}.{key} case {case}",
+                    )
+
+
+def test_fuzz_nnet3_binary_truncation_rejected(tmp_path, rng):
+    net = nnet3.make_random_tdnn(
+        input_dim=8, output_dim=20, hidden_dim=12, num_layers=2, seed=9
+    )
+    path = str(tmp_path / "full.raw")
+    write_nnet3_binary(net, path)
+    data = open(path, "rb").read()
+    import struct as _struct
+
+    for cut in sorted({int(c) for c in
+                       np.random.RandomState(11).randint(1, len(data), 10)}):
+        p = str(tmp_path / "cut.raw")
+        with open(p, "wb") as f:
+            f.write(data[:cut])
+        with pytest.raises((ValueError, EOFError, _struct.error)):
+            nnet3.load_nnet3(p)
