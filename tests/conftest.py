@@ -32,3 +32,11 @@ assert jax.device_count() == 8, jax.devices()
 @pytest.fixture
 def rng():
     return np.random.RandomState(16807)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: full-size oracle-parity tests (minutes each; run by default, "
+        "deselect with -m 'not slow')",
+    )
