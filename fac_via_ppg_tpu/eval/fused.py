@@ -57,6 +57,7 @@ class FusedSynthesizer:
         max_frames: int = 1000,
         feat_bucket: int = 64,
         data_parallel: bool = False,
+        model_parallel: int = 1,
     ):
         """`data_parallel=True` spreads `synthesize_batch` over every chip:
         params replicate onto a 1-D 'data' mesh, the utterance batch is
@@ -65,7 +66,12 @@ class FusedSynthesizer:
         all-reduce).  Batches that don't divide the mesh are padded with
         repeats and trimmed after.  Multi-chip throughput serving — a
         capability the reference's single-GPU serve path lacks
-        (generate_synthesis.py:86-98)."""
+        (generate_synthesis.py:86-98).
+
+        `model_parallel` > 1 additionally shards the WaveGlow WN hidden
+        channel over a 'model' mesh axis (parallel/sharding.py): the mesh
+        becomes (devices/model_parallel data, model_parallel model) and
+        each vocoder matmul runs as a local shard + ICI collective."""
         self.deps = deps or ppg_mod.DependenciesPPG()
         self.t2_cfg = dataclasses.replace(
             t2_cfg, max_decoder_steps=max_frames
@@ -92,11 +98,22 @@ class FusedSynthesizer:
         self.wg_params = waveglow_params
 
         self.mesh = None
-        if data_parallel:
-            self.mesh = make_mesh(model=1)
+        if data_parallel or model_parallel > 1:
+            self.mesh = make_mesh(model=int(model_parallel))
             self.t2_params = replicate(self.mesh, self.t2_params)
             self.t2_state = replicate(self.mesh, self.t2_state)
-            self.wg_params = replicate(self.mesh, self.wg_params)
+            if model_parallel > 1:
+                from fac_via_ppg_tpu.parallel.sharding import (
+                    apply_shardings,
+                    waveglow_param_shardings,
+                )
+
+                self.wg_params = apply_shardings(
+                    self.wg_params,
+                    waveglow_param_shardings(self.mesh, self.wg_params),
+                )
+            else:
+                self.wg_params = replicate(self.mesh, self.wg_params)
             self._bias = replicate(self.mesh, self._bias)
 
         self._fn = jax.jit(self._device_program)
@@ -192,7 +209,8 @@ class FusedSynthesizer:
         if pad_batch_to is not None:
             b_pad = max(b_pad, pad_batch_to)
         if self.mesh is not None:
-            b_pad = round_up(b_pad, self.mesh.devices.size)
+            # batch rows shard over the 'data' axis only
+            b_pad = round_up(b_pad, self.mesh.shape["data"])
         if b_pad != len(pairs):
             reps = b_pad - len(pairs)
             feats = np.concatenate(

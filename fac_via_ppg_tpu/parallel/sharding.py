@@ -1,15 +1,27 @@
 """Parameter sharding rules (tensor parallelism over the 'model' axis).
 
 The reference has only data parallelism (SURVEY.md section 2.4).  On TPU,
-tensor sharding of the wide PPG-facing layers is a natural pjit extension:
-annotate the big matrices with a 'model'-axis PartitionSpec and let GSPMD
-insert the collectives.  The dominant weights are the encoder prenet
-(600 x 5816: ~3.5M params, 55% of the Tacotron2 total) — sharding their
-contraction dimension turns the per-step matmul into a local matmul +
-psum over ICI.
+tensor sharding of the wide layers is a natural pjit extension: annotate
+the big matrices with a 'model'-axis PartitionSpec and let GSPMD insert
+the collectives.
 
+Tacotron2: the dominant weights are the encoder prenet (600 x 5816:
+~3.5M params, 55% of the total) — sharding their contraction dimension
+turns the per-step matmul into a local matmul + psum over ICI.
 Everything else stays replicated: at reference model scale, further TP
 would trade cheap FLOPs for latency.
+
+WaveGlow: virtually all FLOPs live in the WN coupling nets' 256-wide
+hidden channel (reference glow.py:105-176), so the model axis shards
+that channel: start / in_layers / cond_layers / res_skip_layers shard
+their OUT-channel dim (column-parallel), and the tiny `end` projection
+shards its IN-channel (row-parallel: local matmul + psum back to the
+replicated 2*n_half coupling output).  The packed 2C gate dim places
+the tanh and sigmoid halves on different shards, so GSPMD inserts one
+C-wide activation reshard per WN layer before the gate — cheap on ICI
+next to the layer's three 2C-wide matmuls.  The 8x8 invertible 1x1
+convs and the upsampler stay replicated (slogdet/inverse are
+scalar-ish ops on tiny matrices).
 """
 
 from __future__ import annotations
@@ -37,6 +49,42 @@ def tacotron2_param_shardings(mesh: Mesh, params) -> dict:
         if leaf.ndim == 2 and leaf.shape[0] % model_axis == 0 \
                 and leaf.shape[0] * leaf.shape[1] >= 256 * 256:
             return P("model", None)
+        return P()
+
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
+    specs = [
+        NamedSharding(mesh, spec_for(jax.tree_util.keystr(path), leaf))
+        for path, leaf in leaves
+    ]
+    return jax.tree_util.tree_unflatten(treedef, specs)
+
+
+def waveglow_param_shardings(mesh: Mesh, params) -> dict:
+    """NamedSharding pytree for WaveGlow params: TP on the WN hidden
+    channel (see module docstring).  Leaves that don't divide the model
+    axis stay replicated, so tiny test configs degrade gracefully."""
+    model_axis = mesh.shape.get("model", 1)
+
+    def spec_for(path: str, leaf) -> P:
+        if model_axis <= 1 or "'wn'" not in path:
+            return P()  # upsample / convinv replicated
+
+        def div(dim):
+            return leaf.shape[dim] % model_axis == 0 and leaf.shape[dim] > 1
+
+        if "'end'" in path:
+            # row-parallel: contract over the sharded hidden channel
+            if leaf.ndim == 3 and div(1):
+                return P(None, "model", None)
+            return P()  # end bias (tiny) replicated
+        # start / in_layers / cond_layers / res_skip_layers: column-parallel
+        # on the hidden (or stacked-gate 2C) out-channel.  Weight-norm form
+        # has v (out, in, k) and g (out,); folded form has weight (out, in,
+        # k) and bias (out,).
+        if leaf.ndim == 3 and div(0):
+            return P("model", None, None)
+        if leaf.ndim == 1 and div(0):
+            return P("model")
         return P()
 
     leaves, treedef = jax.tree_util.tree_flatten_with_path(params)

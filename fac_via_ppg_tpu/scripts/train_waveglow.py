@@ -38,13 +38,16 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
           sigma, iters_per_checkpoint, batch_size, seed, checkpoint_path,
           data_config=None, waveglow_config=None, train_dtype="float32",
           grad_accum_steps=1, lr_schedule="constant", lr_warmup_steps=0,
-          lr_decay_steps=0, lr_decay_rate=1.0, lr_min_factor=0.0):
+          lr_decay_steps=0, lr_decay_rate=1.0, lr_min_factor=0.0,
+          tensor_parallel_devices=1, data_parallel_devices=None):
     """Signature mirrors the reference train() (train_waveglow.py:66).
 
     `train_dtype` is a TPU extension: "bfloat16" runs the flows' forward/
     backward in bf16 with float32 params/optimizer/logdets/loss;
     `grad_accum_steps` evaluates the batch as that many sequential
     micro-batches with averaged gradients (see train/step.py).
+    `tensor_parallel_devices` > 1 builds a (data, model) mesh and shards
+    the WN hidden channel over the model axis (parallel/sharding.py).
     """
     del num_gpus, rank, group_name  # single-controller JAX
 
@@ -54,11 +57,22 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
     params = init_waveglow(k_init, cfg)
 
     optimizer = make_optimizer(learning_rate)
-    opt_state = optimizer.init(params)
 
-    mesh = make_mesh(model=1)
-    params = replicate(mesh, params)
-    opt_state = replicate(mesh, opt_state)
+    n_model = int(tensor_parallel_devices or 1)
+    n_data = int(data_parallel_devices) if data_parallel_devices else None
+    mesh = make_mesh(data=n_data, model=n_model)
+    if n_model > 1:
+        from fac_via_ppg_tpu.parallel.sharding import (
+            apply_shardings,
+            waveglow_param_shardings,
+        )
+
+        param_shardings = waveglow_param_shardings(mesh, params)
+        place_params = lambda p: apply_shardings(p, param_shardings)  # noqa: E731
+    else:
+        place_params = lambda p: replicate(mesh, p)  # noqa: E731
+    params = place_params(params)
+    opt_state = optimizer.init(params)  # moments inherit the param layout
 
     step = make_waveglow_train_step(
         cfg, optimizer, sigma=sigma,
@@ -78,8 +92,13 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
         restored = ckpt.load_checkpoint(
             checkpoint_path, like={"params": params, "opt_state": opt_state}
         )
-        params = replicate(mesh, restored["params"])
-        opt_state = replicate(mesh, restored["opt_state"])
+        params = place_params(restored["params"])
+        # re-impose the param layout on the optimizer moments too
+        opt_state = jax.tree_util.tree_map(
+            lambda r, t: jax.device_put(np.asarray(r), t.sharding)
+            if hasattr(t, "sharding") else r,
+            restored["opt_state"], opt_state,
+        )
         iteration = restored["iteration"] + 1
         print(
             "Loaded checkpoint '{}' (iteration {})".format(
@@ -183,8 +202,12 @@ def main(config_file_path: str = DEFAULT_WAVEGLOW_CONFIG_PATH, **overrides):
         config = json.load(f)
 
     train_config = dict(config["train_config"])
+    # mesh-shape extensions are CLI/override-only keys (absent from the
+    # reference's config.json sections)
+    mesh_keys = ("tensor_parallel_devices", "data_parallel_devices")
     train_config.update(
-        {k: v for k, v in overrides.items() if k in train_config}
+        {k: v for k, v in overrides.items()
+         if k in train_config or k in mesh_keys}
     )
     data_config = dict(config["data_config"])
     data_config.update(

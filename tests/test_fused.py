@@ -208,3 +208,69 @@ def test_fused_batch_data_parallel_matches(tmp_path, rng):
         assert len(g) == len(w), "per-sequence stop step diverged under DP"
         np.testing.assert_allclose(g, w, atol=1,
                                    err_msg="DP sharding changed the audio")
+
+
+def test_fused_batch_model_parallel_matches(tmp_path, rng):
+    """data_parallel + model_parallel=2: the mesh becomes (4 data x
+    2 model) with the WaveGlow WN hidden channel sharded over 'model'
+    (parallel/sharding.py) — outputs must still match the single-device
+    batched serve exactly."""
+    import pytest
+
+    if jax.device_count() < 8:
+        pytest.skip("needs an 8-device mesh")
+
+    make_bundle(str(tmp_path / "bundle"), n_senones=16, n_phones=4,
+                hidden_dim=8, num_layers=1)
+    deps = DependenciesPPG(
+        nnet_path=str(tmp_path / "bundle" / "am" / "final.raw.txt"),
+        lda_path=str(tmp_path / "bundle" / "feats" / "final.mat"),
+        reduce_dim_path=str(tmp_path / "bundle" / "feats" / "reduce_dim.mat"),
+        splice_opts_path=str(tmp_path / "bundle" / "feats" / "splice_opts"),
+    )
+    t2_cfg = Tacotron2Config(
+        n_symbols=16, symbols_embedding_dim=16, encoder_embedding_dim=16,
+        decoder_rnn_dim=12, prenet_dim=8, attention_rnn_dim=12,
+        attention_dim=8, attention_location_n_filters=4,
+        attention_location_kernel_size=7, postnet_embedding_dim=16,
+        max_decoder_steps=16,
+    )
+    t2_params, t2_state = init_tacotron2(jax.random.PRNGKey(2), t2_cfg)
+    wg_cfg = WaveGlowConfig(
+        n_mel_channels=80, hop_length=160, n_flows=2, n_group=8,
+        n_early_every=4, n_early_size=2, wn_n_layers=2, wn_n_channels=16,
+        wn_kernel_size=3, upsample_kernel_size=1024,
+    )
+    wg_params = remove_weightnorm(init_waveglow(jax.random.PRNGKey(3), wg_cfg))
+
+    paths = []
+    for i, hz in enumerate((160.0, 240.0, 320.0)):
+        t = np.arange(8000 + 1600 * i) / 16000.0
+        p = str(tmp_path / f"u{i}.wav")
+        wavfile.write(p, 16000,
+                      (np.sin(2 * np.pi * hz * t) * 9000).astype(np.int16))
+        paths.append(p)
+
+    common = dict(sigma=0.0, denoiser_strength=0.005, serving_dtype=None,
+                  max_frames=16)
+    key = jax.random.PRNGKey(11)
+    single = FusedSynthesizer(t2_cfg, t2_params, t2_state, wg_cfg,
+                              wg_params, deps=deps, **common)
+    tp = FusedSynthesizer(t2_cfg, t2_params, t2_state, wg_cfg,
+                          wg_params, deps=deps, data_parallel=True,
+                          model_parallel=2, **common)
+    from fac_via_ppg_tpu.models import tacotron2 as t2mod
+
+    orig_dropout = t2mod.dropout
+    t2mod.__dict__["dropout"] = lambda key, x, rate, enabled: x
+    try:
+        want = single.synthesize_batch(paths, key=key)
+        got = tp.synthesize_batch(paths, key=key)
+    finally:
+        t2mod.__dict__["dropout"] = orig_dropout
+
+    assert len(got) == 3
+    for g, w in zip(got, want):
+        assert len(g) == len(w), "stop step diverged under DPxTP"
+        np.testing.assert_allclose(g, w, atol=1,
+                                   err_msg="TP sharding changed the audio")

@@ -248,6 +248,56 @@ def test_data_parallel_step_matches_single_device(rng):
         )
 
 
+def test_waveglow_tp_step_matches_single_device(rng):
+    """DP x TP (4 data x 2 model) WaveGlow step == unsharded step.
+
+    The WN-channel shardings (parallel/sharding.py) may only change the
+    program layout, never the math.  SGD keeps the comparison linear in
+    the gradients (see the DP test above).
+    """
+    import optax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs an 8-device mesh")
+
+    from jax.sharding import PartitionSpec as P
+
+    from fac_via_ppg_tpu.parallel.sharding import (
+        apply_shardings,
+        waveglow_param_shardings,
+    )
+
+    cfg = WaveGlowConfig(
+        n_mel_channels=8, hop_length=16, n_flows=4, n_group=8,
+        n_early_every=2, n_early_size=2, wn_n_layers=3, wn_n_channels=16,
+        wn_kernel_size=3, upsample_kernel_size=32,
+    )
+    params = init_waveglow(jax.random.PRNGKey(0), cfg)
+    optimizer = optax.sgd(1e-2)
+    step = make_waveglow_train_step(cfg, optimizer, sigma=0.7071,
+                                    donate=False)
+    mel = rng.randn(8, 8, 16).astype(np.float32)
+    audio = (rng.randn(8, 256) * 0.1).astype(np.float32)
+
+    out_single = step(params, optimizer.init(params),
+                      (jnp.asarray(mel), jnp.asarray(audio)))
+
+    mesh = make_mesh(data=4, model=2)
+    shardings = waveglow_param_shardings(mesh, params)
+    specs = [s.spec for s in jax.tree.leaves(shardings)]
+    assert any(s != P() for s in specs), "TP sharded nothing"
+    p2 = apply_shardings(params, shardings)
+    o2 = optimizer.init(p2)
+    out_tp = step(p2, o2, shard_batch(mesh, (mel, audio)))
+
+    np.testing.assert_allclose(
+        float(out_single.loss), float(out_tp.loss), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(out_single.params),
+                    jax.tree.leaves(out_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_tacotron2_bf16_train_step(rng):
     """bf16 compute policy: float32 params/opt/BN-stats throughout, finite
     loss tracking the float32 trajectory (train/step.py compute_dtype)."""
