@@ -334,12 +334,14 @@ def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0,
     with tempfile.TemporaryDirectory() as td:
         paths = _synth_wavs(td, n_utts, utt_seconds)
         audio_s, n_steady, start = 0.0, 0, None
+        latencies = []
         for i, r in enumerate(conv.run(paths)):
             if i == warm - 1:
                 start = time.perf_counter()
             elif i >= warm:
                 audio_s += r.audio_seconds
                 n_steady += 1
+                latencies.append(r.latency_seconds)
     wall_s = time.perf_counter() - start
     rtf = audio_s / wall_s
     return {
@@ -353,6 +355,11 @@ def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0,
             "steady_utts": n_steady,
             "batch": batch,
             "frontend_threads": frontend_threads,
+            # service latency (front-end start -> audio ready, incl.
+            # micro-batch fill wait + full device call): the price
+            # micro-batching pays for throughput
+            "latency_p50_s": round(float(np.percentile(latencies, 50)), 3),
+            "latency_p95_s": round(float(np.percentile(latencies, 95)), 3),
             "device": str(jax.devices()[0]),
         },
     }

@@ -48,13 +48,21 @@ class StreamResult:
     wav_path: str
     audio: np.ndarray
     audio_seconds: float
+    # attributed cost: front-end seconds + this utterance's share of the
+    # device call (device wall / micro-batch size) — sums to pipeline cost
     wall_seconds: float
+    # service latency: front-end START -> audio ready.  For micro-batched
+    # serving this includes the wait for the batch to fill and the FULL
+    # device call (an utterance isn't done until its batch is), i.e. the
+    # latency price of throughput batching — quote p50/p95 of this.
+    latency_seconds: float = 0.0
 
 
 def _frontend_pool(wav_paths, featurize_fn, n_workers: int,
                    queue_depth: int):
-    """Lazily yields (path, payload, frontend_seconds) from a pool of
-    host featurization threads.
+    """Lazily yields (path, payload, frontend_seconds, t_start) from a
+    pool of host featurization threads (t_start: perf_counter when the
+    utterance's front-end processing began — the latency clock origin).
 
     `wav_paths` may be any iterable — including a live/unbounded
     generator: a feeder thread pulls paths one at a time through a
@@ -88,7 +96,7 @@ def _frontend_pool(wav_paths, featurize_fn, n_workers: int,
                     break
                 t0 = time.perf_counter()
                 payload = featurize_fn(path)
-                feat_q.put((path, payload, time.perf_counter() - t0))
+                feat_q.put((path, payload, time.perf_counter() - t0, t0))
         except BaseException as e:
             errors.append(e)
         finally:
@@ -169,7 +177,7 @@ class StreamingAccentConverter:
             n_workers=max(1, self.frontend_threads),
             queue_depth=self.queue_depth,
         )
-        for path, teacher_ppg, frontend_s in stream:
+        for path, teacher_ppg, frontend_s, t_arr in stream:
             t0 = time.perf_counter()
             key, k_mel, k_wg = jax.random.split(key, 3)
             # Length-bucketed shapes throughout: one compiled decoder /
@@ -194,12 +202,13 @@ class StreamingAccentConverter:
                     audio, strength=self.denoiser_strength
                 )[:, 0, :]
             audio = np.asarray(audio)[0][: t_mel * self.wg_cfg.hop_length]
-            wall = time.perf_counter() - t0 + frontend_s
+            t_done = time.perf_counter()
             yield StreamResult(
                 wav_path=path,
                 audio=audio,
                 audio_seconds=len(audio) / 16000.0,
-                wall_seconds=wall,
+                wall_seconds=t_done - t0 + frontend_s,
+                latency_seconds=t_done - t_arr,
             )
 
     def _run_fused(self, wav_paths, key=None):
@@ -224,31 +233,35 @@ class StreamingAccentConverter:
             t0 = time.perf_counter()
             key, sub = jax.random.split(key)
             pcms = self.fused.synthesize_feature_pairs(
-                [pair for _, pair, _ in batch], sub,
+                [pair for _, pair, _, _ in batch], sub,
                 pad_batch_to=self.batch_size,
             )
-            device_s = (time.perf_counter() - t0) / len(batch)
-            for (path, _, frontend_s), pcm in zip(batch, pcms):
+            t_done = time.perf_counter()
+            device_s = (t_done - t0) / len(batch)
+            for (path, _, frontend_s, t_arr), pcm in zip(batch, pcms):
                 yield StreamResult(
                     wav_path=path,
                     audio=pcm.astype(np.float32) / 32767.0,
                     audio_seconds=len(pcm) / 16000.0,
                     wall_seconds=device_s + frontend_s,
+                    latency_seconds=t_done - t_arr,
                 )
 
         for item in stream:
             if self.batch_size == 1:
                 # single-utterance program (scalar stop step readback):
                 # the lowest-latency path, unchanged from before
-                path, (feats, t), frontend_s = item
+                path, (feats, t), frontend_s, t_arr = item
                 t0 = time.perf_counter()
                 key, sub = jax.random.split(key)
                 pcm = self.fused.synthesize_features(feats, t, sub)
+                t_done = time.perf_counter()
                 yield StreamResult(
                     wav_path=path,
                     audio=pcm.astype(np.float32) / 32767.0,
                     audio_seconds=len(pcm) / 16000.0,
-                    wall_seconds=time.perf_counter() - t0 + frontend_s,
+                    wall_seconds=t_done - t0 + frontend_s,
+                    latency_seconds=t_done - t_arr,
                 )
                 continue
             pending.append(item)
@@ -305,6 +318,7 @@ def main():
     )
     total_audio = total_wall = 0.0
     steady_audio = steady_wall = 0.0
+    latencies = []
     n = 0
     # With micro-batching every result of the first flush shares the
     # compile-laden device time, so the whole first batch is warmup.
@@ -324,6 +338,7 @@ def main():
         if n >= warm:  # earlier results pay the jit compiles
             steady_audio += result.audio_seconds
             steady_wall += result.wall_seconds
+            latencies.append(result.latency_seconds)
         n += 1
         print(
             f"{out}: {result.audio_seconds:.2f}s audio in "
@@ -334,6 +349,13 @@ def main():
         print(
             f"stream RTF {total_audio / pipeline_wall:.2f}x incl. compile; "
             f"steady-state {steady_audio / max(steady_wall, 1e-9):.2f}x"
+        )
+    if latencies:
+        print(
+            "per-utterance latency p50 "
+            f"{np.percentile(latencies, 50):.3f}s / p95 "
+            f"{np.percentile(latencies, 95):.3f}s "
+            "(front-end start -> audio ready, incl. micro-batch wait)"
         )
 
 

@@ -59,6 +59,7 @@ def test_streaming_pipeline(tmp_path, rng):
             assert r.audio.ndim == 1 and len(r.audio) > 0
             assert np.isfinite(r.audio).all()
             assert r.audio_seconds > 0 and r.wall_seconds > 0
+            assert r.latency_seconds >= r.wall_seconds - 1e-6
 
 
 def test_streaming_micro_batched(tmp_path, rng):
@@ -107,6 +108,7 @@ def test_streaming_micro_batched(tmp_path, rng):
         assert r.audio.ndim == 1 and len(r.audio) > 0
         assert np.isfinite(r.audio).all()
         assert r.audio_seconds > 0 and r.wall_seconds > 0
+        assert r.latency_seconds >= r.wall_seconds - 1e-6
 
     # guard: micro-batching requires the fused path
     with pytest.raises(ValueError):
