@@ -125,7 +125,8 @@ class StreamingAccentConverter:
                  sigma: float = 0.6, denoiser_strength: float = 0.005,
                  queue_depth: int = 4, serving_dtype=None,
                  fused: bool = False, batch_size: int = 1,
-                 frontend_threads: int = 1, data_parallel: bool = False):
+                 frontend_threads: int = 1, data_parallel: bool = False,
+                 model_parallel: int = 1):
         self.t2_cfg = t2_cfg
         self.tacotron_params = tacotron_params
         self.tacotron_state = tacotron_state
@@ -160,10 +161,12 @@ class StreamingAccentConverter:
                 serving_dtype=serving_dtype,
                 max_frames=t2_cfg.max_decoder_steps,
                 data_parallel=data_parallel,
+                model_parallel=model_parallel,
             )
-        elif batch_size > 1 or data_parallel:
+        elif batch_size > 1 or data_parallel or model_parallel > 1:
             raise ValueError(
-                "batch_size > 1 / data_parallel require fused=True"
+                "batch_size > 1 / data_parallel / model_parallel "
+                "require fused=True"
             )
 
     def run(self, wav_paths, key=None):
@@ -293,6 +296,10 @@ def main():
                         help="host front-end worker threads")
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard fused micro-batches over all chips")
+    parser.add_argument("--model_parallel", type=int, default=1,
+                        help="shard the WaveGlow WN channel over a "
+                             "'model' mesh axis of this size (needs "
+                             "--fused; composes with --data_parallel)")
     args = parser.parse_args()
 
     hparams = create_hparams_stage()
@@ -315,6 +322,7 @@ def main():
         fused=args.fused, batch_size=args.batch_size,
         frontend_threads=args.frontend_threads,
         data_parallel=args.data_parallel,
+        model_parallel=args.model_parallel,
     )
     total_audio = total_wall = 0.0
     steady_audio = steady_wall = 0.0
