@@ -31,8 +31,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def tacotron2_param_shardings(mesh: Mesh, params) -> dict:
-    """NamedSharding pytree for Tacotron2 params: TP on the PPG prenet."""
+def tacotron2_param_shardings(mesh: Mesh, params,
+                              wide_threshold: int = 1024,
+                              big_threshold: int = 256 * 256) -> dict:
+    """NamedSharding pytree for Tacotron2 params: TP on the PPG prenet.
+
+    The thresholds gate which matrices are worth sharding (below them TP
+    trades cheap FLOPs for collective latency); tests pass smaller values
+    to exercise the sharded program at toy scale.
+    """
     model_axis = mesh.shape.get("model", 1)
 
     def spec_for(path: str, leaf) -> P:
@@ -42,12 +49,12 @@ def tacotron2_param_shardings(mesh: Mesh, params) -> dict:
         # 5816-wide contraction dim.
         if "encoder" in path and "prenet" in path and "layers'][0" in path \
                 and leaf.ndim == 2 and leaf.shape[1] % model_axis == 0 \
-                and leaf.shape[1] >= 1024:
+                and leaf.shape[1] >= wide_threshold:
             return P(None, "model")
         # encoder prenet layer 1 / decoder projection-sized matrices: shard
         # the output dim when divisible.
         if leaf.ndim == 2 and leaf.shape[0] % model_axis == 0 \
-                and leaf.shape[0] * leaf.shape[1] >= 256 * 256:
+                and leaf.shape[0] * leaf.shape[1] >= big_threshold:
             return P("model", None)
         return P()
 

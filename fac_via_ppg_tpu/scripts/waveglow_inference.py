@@ -31,7 +31,7 @@ from fac_via_ppg_tpu.utils.inference import load_waveglow_model
 
 def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
          batch_size=1, sampling_rate=16000, data_parallel=False,
-         compute_dtype="float32", wn_impl="xla"):
+         compute_dtype="float32", wn_impl="xla", model_parallel=1):
     cfg = WaveGlowConfig()
     params = load_waveglow_model(waveglow_path, cfg)
     denoiser = Denoiser(cfg, params) if denoiser_strength > 0 else None
@@ -59,17 +59,29 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
                                            wn_impl=wn_impl, packed_wn=pk)
     )
     mesh = None
-    if data_parallel and jax.device_count() > 1:
+    if (data_parallel or model_parallel > 1) and jax.device_count() > 1:
         # serving fan-out: shard the batch over the chip mesh; params
-        # replicate; no code change to the model — GSPMD partitions it.
+        # replicate (or, with model_parallel > 1, shard the WN hidden
+        # channel over the 'model' axis) — GSPMD partitions the program.
         from fac_via_ppg_tpu.parallel.mesh import (
             batch_sharding, make_mesh, replicate,
         )
 
-        mesh = make_mesh(model=1)
-        params = replicate(mesh, params)
+        mesh = make_mesh(model=int(model_parallel))
+        if model_parallel > 1:
+            from fac_via_ppg_tpu.parallel.sharding import (
+                apply_shardings,
+                waveglow_param_shardings,
+            )
+
+            params = apply_shardings(
+                params, waveglow_param_shardings(mesh, params)
+            )
+        else:
+            params = replicate(mesh, params)
         batch_size = max(batch_size, mesh.shape["data"])
-        print(f"data-parallel vocoder over {mesh.shape['data']} devices")
+        print(f"vocoder mesh: {mesh.shape['data']} data x "
+              f"{mesh.shape['model']} model")
 
     for length, group in by_len.items():
         for i in range(0, len(group), batch_size):
@@ -109,6 +121,10 @@ if __name__ == "__main__":
     parser.add_argument("--sampling_rate", default=16000, type=int)
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard batches over all devices in the mesh")
+    parser.add_argument("--model_parallel", type=int, default=1,
+                        help="shard the WN hidden channel over a 'model' "
+                             "mesh axis of this size (composes with "
+                             "--data_parallel)")
     parser.add_argument("--compute_dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="serving dtype (bf16: ~1.5x faster, 55 dB SNR)")
@@ -119,4 +135,5 @@ if __name__ == "__main__":
     args = parser.parse_args()
     main(args.filelist_path, args.waveglow_path, args.output_dir, args.sigma,
          args.denoiser_strength, args.batch_size, args.sampling_rate,
-         args.data_parallel, args.compute_dtype, args.wn_impl)
+         args.data_parallel, args.compute_dtype, args.wn_impl,
+         args.model_parallel)

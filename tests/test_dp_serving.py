@@ -39,8 +39,11 @@ def test_data_parallel_vocoder_serving(tmp_path, rng):
         f.write("\n".join(files) + "\n")
 
     out_dir = str(tmp_path / "out")
+    # batch_size=8 explicitly: the DP mesh (8 data) and the TP mesh below
+    # (4 data x 2 model) must batch identically or their noise-key
+    # sequences (and thus outputs) are incomparable.
     wg_infer_main(filelist, ckpt_path, out_dir, sigma=0.6,
-                  denoiser_strength=0.0, batch_size=2, data_parallel=True)
+                  denoiser_strength=0.0, batch_size=8, data_parallel=True)
 
     outputs = sorted(glob.glob(os.path.join(out_dir, "*.wav")))
     assert len(outputs) == 5
@@ -51,3 +54,22 @@ def test_data_parallel_vocoder_serving(tmp_path, rng):
         assert fs == 16000
         assert len(wav) == 24 * 160
         assert np.isfinite(wav.astype(np.float64)).all()
+
+    # DP x TP (model_parallel=2 shards the WN hidden channel): same noise
+    # draws (partitionable RNG is layout-independent), so outputs agree up
+    # to reduction-order reassociation through the 12 flows.
+    tp_dir = str(tmp_path / "out_tp")
+    wg_infer_main(filelist, ckpt_path, tp_dir, sigma=0.6,
+                  denoiser_strength=0.0, batch_size=8, data_parallel=True,
+                  model_parallel=2)
+    tp_outputs = sorted(glob.glob(os.path.join(tp_dir, "*.wav")))
+    assert len(tp_outputs) == 5
+    for dp_f, tp_f in zip(outputs, tp_outputs):
+        _, a = wavfile.read(dp_f)
+        _, b = wavfile.read(tp_f)
+        a = a.astype(np.float64)
+        b = b.astype(np.float64)
+        err = np.abs(a - b).max()
+        assert err <= 64, f"TP audio diverged: max int16 delta {err}"
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.9999, f"TP audio decorrelated: {corr}"

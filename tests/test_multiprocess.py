@@ -2,11 +2,14 @@
 
 Exercises the capability the reference gets from multiproc.py:38-55 +
 distributed.py:145-170 (multi-process data-parallel training with a TCP
-rendezvous): two localhost JAX processes initialize through
-`scripts.multiproc.initialize_distributed`, train the real jitted Tacotron2
-DP step over a 2-process x 2-device mesh on disjoint EpochBatcher shards,
-and must agree with each other AND with a single-process replay of the
-same global batches.
+rendezvous), generalized to every strategy this framework ships: two
+localhost JAX processes initialize through
+`scripts.multiproc.initialize_distributed` and run (a) the jitted
+Tacotron2 DP train step, (b) the same step DP x TP on a (2 data x
+2 model) mesh whose data axis crosses the process boundary, and (c) one
+fused DP serving call (batched gate-stopped decode -> vocoder) with the
+utterance batch sharded across both processes.  Every phase must agree
+across workers AND with a single-process replay.
 """
 
 from __future__ import annotations
@@ -26,13 +29,13 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _load(path):
+def _load(path, prefix=""):
     data = np.load(path, allow_pickle=False)
-    n = int(data["n_leaves"])
+    n = int(data[f"{prefix}n_leaves"])
     return (
-        [data[f"leaf_{i}"] for i in range(n)],
-        str(data["treedef"]),
-        data["losses"],
+        [data[f"{prefix}leaf_{i}"] for i in range(n)],
+        str(data[f"{prefix}treedef"]),
+        data[f"{prefix}losses"],
     )
 
 
@@ -54,7 +57,7 @@ def test_two_process_dp_matches_single_process(tmp_path):
     logs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=840)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -102,3 +105,54 @@ def test_two_process_dp_matches_single_process(tmp_path):
     np.testing.assert_allclose(losses0, losses_ref, atol=1e-5)
     for a, b in zip(leaves0, leaves_ref):
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+    # --- phase 2: DP x TP train step across the process boundary ---
+    tp0 = _load(outs[0], prefix="tp_")
+    tp1 = _load(outs[1], prefix="tp_")
+    assert tp0[1] == tp1[1]
+    np.testing.assert_allclose(tp0[2], tp1[2], atol=1e-6)
+    for a, b in zip(tp0[0], tp1[0]):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    from tests.mp_worker import TP_D_IN as _tp_d_in
+
+    def mp_worker_tp_d_in():
+        return _tp_d_in
+
+    tp_shard_iters = [
+        iter(make_batcher(s, 2, d_in=mp_worker_tp_d_in())) for s in range(2)
+    ]
+    tp_global = []
+    for _ in range(STEPS):
+        parts = [next(it) for it in tp_shard_iters]
+        tp_global.append(tuple(
+            np.concatenate([np.asarray(p[f]) for p in parts], axis=0)
+            for f in range(len(parts[0]))
+        ))
+    tp_params, tp_losses_ref = run_training(
+        jax, tp_global, mesh=make_mesh(data=2, model=2),
+        tensor_parallel=True,
+    )
+    tp_leaves_ref, tp_tree_ref = flatten_params(tp_params)
+    assert tp0[1] == tp_tree_ref
+    np.testing.assert_allclose(tp0[2], tp_losses_ref, atol=1e-5)
+    for a, b in zip(tp0[0], tp_leaves_ref):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    # --- phase 3: fused DP serving call across both processes ---
+    from tests.mp_worker import run_serving
+
+    audio_ref, lens_ref, seen_ref = run_serving(jax, make_mesh(data=4))
+    assert seen_ref.all()  # single-process sees the whole batch
+    for i, out in enumerate(outs):
+        data = np.load(out, allow_pickle=False)
+        seen = data["serve_seen"]
+        assert seen.any(), f"worker {i} owned no serving rows"
+        np.testing.assert_array_equal(
+            data["serve_mel_lens"][seen], lens_ref[seen],
+            err_msg="stop step diverged across processes",
+        )
+        np.testing.assert_allclose(
+            data["serve_audio"][seen], audio_ref[seen], atol=1e-5,
+            err_msg="served audio diverged across processes",
+        )
