@@ -67,3 +67,26 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
+
+
+def normalize_tree_placement(mesh: Mesh, tree):
+    """Re-place any leaf that does not span `mesh` onto it, replicated.
+
+    `optax`'s `init` on already-sharded params gives moments that inherit
+    the param layout, but freshly created scalars (step count, injected
+    hyperparams) land committed to the default device only — a mix jit
+    rejects ("incompatible devices").  Leaves already laid out across the
+    full mesh keep their sharding; everything else is replicated.
+    """
+    rep = replicated(mesh)
+    n = mesh.devices.size
+
+    def fix(x):
+        try:
+            if len(x.devices()) == n:
+                return x
+        except Exception:
+            pass
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map(fix, tree)

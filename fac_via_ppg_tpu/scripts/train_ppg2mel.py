@@ -131,7 +131,11 @@ def train(output_directory, log_directory, checkpoint_path, warm_start,
         place_params = lambda p: replicate(mesh, p)  # noqa: E731
     params = place_params(params)
     if n_model > 1:
-        opt_state = optimizer.init(params)  # optimizer state follows params
+        # moments follow the TP param layout; fresh scalars (count,
+        # injected lr) are re-placed onto the mesh replicated
+        from fac_via_ppg_tpu.parallel.mesh import normalize_tree_placement
+
+        opt_state = normalize_tree_placement(mesh, optimizer.init(params))
     else:
         opt_state = replicate(mesh, opt_state)
     model_state = replicate(mesh, model_state)

@@ -62,6 +62,7 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
     n_data = int(data_parallel_devices) if data_parallel_devices else None
     mesh = make_mesh(data=n_data, model=n_model)
     if n_model > 1:
+        from fac_via_ppg_tpu.parallel.mesh import normalize_tree_placement
         from fac_via_ppg_tpu.parallel.sharding import (
             apply_shardings,
             waveglow_param_shardings,
@@ -69,10 +70,15 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
 
         param_shardings = waveglow_param_shardings(mesh, params)
         place_params = lambda p: apply_shardings(p, param_shardings)  # noqa: E731
+        params = place_params(params)
+        # moments inherit the TP param layout; freshly created scalars
+        # (count, injected lr) are re-placed onto the mesh replicated
+        opt_state = normalize_tree_placement(mesh, optimizer.init(params))
     else:
         place_params = lambda p: replicate(mesh, p)  # noqa: E731
-    params = place_params(params)
-    opt_state = optimizer.init(params)  # moments inherit the param layout
+        opt_state = optimizer.init(params)  # host params: plain layout
+        params = place_params(params)
+        opt_state = replicate(mesh, opt_state)
 
     step = make_waveglow_train_step(
         cfg, optimizer, sigma=sigma,

@@ -689,3 +689,68 @@ def test_train_waveglow_lr_schedule_wired(tmp_path, rng):
     for a, b in zip(jax.tree.leaves(saved["params"]),
                     jax.tree.leaves(params_init)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_waveglow_cli_tensor_parallel(tmp_path, rng):
+    """train_waveglow.train() with tensor_parallel_devices=2 on the CPU
+    mesh: the TP param/opt placements must produce a consistent jitted
+    step (regression: optax scalars landing on one device while moments
+    inherit the TP layout)."""
+    import glob
+    import os
+
+    from scipy.io import wavfile
+
+    from fac_via_ppg_tpu.scripts.train_waveglow import train
+
+    if jax.device_count() < 8:
+        pytest.skip("needs an 8-device mesh")
+
+    wavs = []
+    for i in range(4):
+        t = np.arange(6000) / 16000.0
+        p = str(tmp_path / f"w{i}.wav")
+        wavfile.write(p, 16000, (np.sin(2 * np.pi * (200 + 20 * i) * t)
+                                 * 9000).astype(np.int16))
+        wavs.append(p)
+    filelist = str(tmp_path / "files.txt")
+    with open(filelist, "w") as f:
+        f.write("\n".join(wavs) + "\n")
+
+    data_config = dict(
+        training_files=filelist, segment_length=2048, sampling_rate=16000,
+        filter_length=256, hop_length=64, win_length=256,
+        mel_fmin=0.0, mel_fmax=8000.0, n_mel_channels=16,
+    )
+    waveglow_config = dict(
+        n_mel_channels=16, hop_length=64, n_flows=2, n_group=8,
+        n_early_every=4, n_early_size=2,
+        WN_config=dict(n_layers=2, n_channels=16, kernel_size=3),
+    )
+    out_dir = str(tmp_path / "run_tp")
+    params, opt_state, iteration = train(
+        1, 0, "", out_dir, epochs=2, learning_rate=1e-4, sigma=0.7071,
+        iters_per_checkpoint=1, batch_size=4, seed=1,
+        checkpoint_path="", data_config=data_config,
+        waveglow_config=waveglow_config, tensor_parallel_devices=2,
+    )
+    assert iteration == 2
+    for leaf in jax.tree.leaves(params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # TP layout actually applied: some param spans the model axis sharded
+    from jax.sharding import PartitionSpec as P
+
+    specs = {getattr(getattr(l, "sharding", None), "spec", None)
+             for l in jax.tree.leaves(params)}
+    assert any(s is not None and s != P() for s in specs), specs
+
+    # resume through the TP placement path
+    params2, _, iteration2 = train(
+        1, 0, "", out_dir, epochs=3, learning_rate=1e-4, sigma=0.7071,
+        iters_per_checkpoint=100, batch_size=4, seed=1,
+        checkpoint_path="auto", data_config=data_config,
+        waveglow_config=waveglow_config, tensor_parallel_devices=2,
+    )
+    assert iteration2 == 3
+    for leaf in jax.tree.leaves(params2):
+        assert np.isfinite(np.asarray(leaf)).all()
