@@ -289,7 +289,14 @@ def main():
     parser.add_argument("--denoiser_strength", type=float, default=0.005)
     parser.add_argument("--max_decoder_steps", type=int, default=None)
     parser.add_argument("--output", default=None)
+    parser.add_argument("--cpu", action="store_true",
+                        help="run the JAX side on CPU (the torch oracle "
+                             "is CPU regardless); avoids per-shape "
+                             "accelerator compiles for one-off runs")
     args = parser.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     with open(args.filelist) as f:
         wavs = [line.strip() for line in f if line.strip()]
