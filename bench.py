@@ -327,10 +327,14 @@ def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0,
         serving_dtype=jnp.bfloat16, fused=fused, batch_size=batch,
         frontend_threads=frontend_threads,
     )
+    # Compile outside the measured stream: otherwise the first fused
+    # call's XLA compile leaks into the latency clock of every utterance
+    # featurized while it runs (they are timestamped at front-end pickup).
+    conv.prewarm(utt_seconds)
     # Steady-state THROUGHPUT: audio produced / elapsed wall clock after
-    # the warmup utterances (compiles).  Summing per-utterance
-    # wall_seconds would double-count the front end, which runs overlapped
-    # on its own thread.
+    # the warmup utterances (micro-batch pipeline fill).  Summing
+    # per-utterance wall_seconds would double-count the front end, which
+    # runs overlapped on its own thread.
     with tempfile.TemporaryDirectory() as td:
         paths = _synth_wavs(td, n_utts, utt_seconds)
         audio_s, n_steady, start = 0.0, 0, None

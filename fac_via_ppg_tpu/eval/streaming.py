@@ -169,6 +169,32 @@ class StreamingAccentConverter:
                 "require fused=True"
             )
 
+    def prewarm(self, utt_seconds: float = 4.0, key=None):
+        """Compile + warm the fused device program(s) before serving.
+
+        Without this, the first real micro-batch pays XLA compilation
+        inside its service window, and — because the front-end pool has
+        already timestamped every queued utterance — that compile time
+        leaks into the latency clock of *every* utterance featurized
+        while the compile runs.  Benchmarks that quote latency
+        percentiles must prewarm so p50/p95 measure service + queueing,
+        not compilation.  Output is discarded; fused mode only (the
+        staged path compiles per-stage on first use and is not the
+        latency-quoted path)."""
+        if self.fused is None:
+            return
+        key = key if key is not None else jax.random.PRNGKey(0x9e3779)
+        n_frames = max(int(utt_seconds * 100), 1)
+        t_pad = -(-n_frames // self.fused.feat_bucket) * self.fused.feat_bucket
+        feats = np.zeros((t_pad, int(self.deps.lda.shape[0])), np.float32)
+        if self.batch_size == 1:
+            self.fused.synthesize_features(feats, n_frames, key)
+        else:
+            self.fused.synthesize_feature_pairs(
+                [(feats, n_frames)] * self.batch_size, key,
+                pad_batch_to=self.batch_size,
+            )
+
     def run(self, wav_paths, key=None):
         """Yields StreamResult per utterance, with stage overlap."""
         if self.fused is not None:
