@@ -5,11 +5,16 @@ tensor sharding of the wide layers is a natural pjit extension: annotate
 the big matrices with a 'model'-axis PartitionSpec and let GSPMD insert
 the collectives.
 
-Tacotron2: the dominant weights are the encoder prenet (600 x 5816:
-~3.5M params, 55% of the total) — sharding their contraction dimension
-turns the per-step matmul into a local matmul + psum over ICI.
-Everything else stays replicated: at reference model scale, further TP
-would trade cheap FLOPs for latency.
+Tacotron2: the encoder prenet's PPG-facing matrix (600 x 5816: ~3.5M
+params) shards its contraction dimension — a local matmul + psum over
+ICI.  The other big matrices (BLSTM / attention / decoder LSTM gate
+stacks, projections) shard their output dim (column-parallel), and the
+encoder/postnet conv stacks shard their out-channel (each Conv1d is an
+(out, in*k) matmul on the MXU, so a shard computes its out-channel
+block locally) — together ~97% of the parameter mass at the full
+operating point.  Small vectors (biases, BN scales, gate layers) stay
+replicated: GSPMD slices a replicated operand locally, so mixing them
+with sharded activations costs no collectives.
 
 WaveGlow: virtually all FLOPs live in the WN coupling nets' 256-wide
 hidden channel (reference glow.py:105-176), so the model axis shards
@@ -51,11 +56,16 @@ def tacotron2_param_shardings(mesh: Mesh, params,
                 and leaf.ndim == 2 and leaf.shape[1] % model_axis == 0 \
                 and leaf.shape[1] >= wide_threshold:
             return P(None, "model")
-        # encoder prenet layer 1 / decoder projection-sized matrices: shard
+        # encoder prenet layer 1 / LSTM gate stacks / projections: shard
         # the output dim when divisible.
         if leaf.ndim == 2 and leaf.shape[0] % model_axis == 0 \
                 and leaf.shape[0] * leaf.shape[1] >= big_threshold:
             return P("model", None)
+        # encoder/postnet Conv1d kernels (out, in, k): column-parallel on
+        # the out-channel.
+        if leaf.ndim == 3 and leaf.shape[0] % model_axis == 0 \
+                and leaf.size >= big_threshold:
+            return P("model", None, None)
         return P()
 
     leaves, treedef = jax.tree_util.tree_flatten_with_path(params)

@@ -298,6 +298,62 @@ def test_waveglow_tp_step_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_tacotron2_tp_step_matches_single_device(rng):
+    """DP x TP (4 data x 2 model) Tacotron2 step == unsharded step.
+
+    Lowered thresholds make the toy config exercise every sharding
+    clause — prenet contraction split, column-parallel LSTM gate stacks
+    and projections, AND the encoder/postnet Conv1d out-channel split —
+    so the full-size TP program layout is covered structurally.  SGD
+    keeps the comparison linear in the gradients (see the DP test)."""
+    import optax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs an 8-device mesh")
+
+    from jax.sharding import PartitionSpec as P
+
+    from fac_via_ppg_tpu.parallel.sharding import (
+        apply_shardings,
+        tacotron2_param_shardings,
+    )
+
+    params, state = init_tacotron2(jax.random.PRNGKey(0), CFG)
+    optimizer = optax.sgd(1e-2)
+    step = make_tacotron2_train_step(CFG, optimizer, donate=False)
+    batch = _batch(rng, B=8)
+    key = jax.random.PRNGKey(2)
+
+    out_single = step(params, state, optimizer.init(params),
+                      tuple(map(jnp.asarray, batch)), key)
+
+    mesh = make_mesh(data=4, model=2)
+    shardings = tacotron2_param_shardings(
+        mesh, params, wide_threshold=16, big_threshold=64
+    )
+    flat = {
+        jax.tree_util.keystr(path): s.spec
+        for path, s in jax.tree_util.tree_flatten_with_path(shardings)[0]
+    }
+    assert any("conv" in k and s == P("model", None, None)
+               for k, s in flat.items()), "conv out-channel TP missing"
+    assert any(s == P(None, "model") for s in flat.values()), \
+        "prenet contraction TP missing"
+    assert any(s == P("model", None) for s in flat.values()), \
+        "column-parallel matrix TP missing"
+    p2 = apply_shardings(params, shardings)
+    s2 = replicate(mesh, state)
+    o2 = optimizer.init(p2)
+    out_tp = step(p2, s2, o2, shard_batch(mesh, batch), key)
+
+    np.testing.assert_allclose(
+        float(out_single.loss), float(out_tp.loss), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(out_single.params),
+                    jax.tree.leaves(out_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_tacotron2_bf16_train_step(rng):
     """bf16 compute policy: float32 params/opt/BN-stats throughout, finite
     loss tracking the float32 trajectory (train/step.py compute_dtype)."""
