@@ -152,6 +152,9 @@ _TPU_EXTENSIONS: Dict[str, Any] = {
     # Devices along the 'model' mesh axis: tensor-parallel sharding of the
     # wide PPG prenet matrices (parallel/sharding.py).  1 disables TP.
     "tensor_parallel_devices": 1,
+    # ZeRO-1: shard the Adam moments over the data axis
+    # (parallel/sharding.optimizer_state_shardings).  Pure-DP runs only.
+    "zero_sharded_opt_state": False,
     # Pad batches to length buckets of this granularity to bound the number
     # of distinct compiled shapes (XLA traces once per shape).
     "length_bucket_size": 128,

@@ -1,4 +1,5 @@
-"""Parameter sharding rules (tensor parallelism over the 'model' axis).
+"""Parameter and optimizer-state sharding rules (TP over the 'model'
+axis; ZeRO-1 optimizer sharding over the 'data' axis).
 
 The reference has only data parallelism (SURVEY.md section 2.4).  On TPU,
 tensor sharding of the wide layers is a natural pjit extension: annotate
@@ -110,6 +111,39 @@ def waveglow_param_shardings(mesh: Mesh, params) -> dict:
         for path, leaf in leaves
     ]
     return jax.tree_util.tree_unflatten(treedef, specs)
+
+
+def optimizer_state_shardings(mesh: Mesh, opt_state, axis: str = "data"):
+    """ZeRO-1: shard optimizer state over the data axis.
+
+    The reference replicates optimizer state per GPU (SURVEY.md §2.4:
+    FSDP/ZeRO absent).  On a mesh the Adam moments are pure elementwise
+    state, so sharding them over 'data' cuts optimizer memory by the DP
+    degree — for Adam, two-thirds of the (param + m + v) training
+    footprint beyond activations.  GSPMD keeps the moment update local
+    to each shard and all-gathers only the final param delta into the
+    replicated params (ZeRO stage 1 semantics, compiler-derived rather
+    than hand-bucketed).
+
+    Each array leaf shards its first dimension divisible by the axis
+    size; scalars (step count, injected learning rate) and indivisible
+    leaves stay replicated.  Intended for pure-DP runs: under TP the
+    moments already follow the param layout and must keep it.
+    """
+    n = mesh.shape.get(axis, 1)
+
+    def spec_for(leaf) -> P:
+        shape = getattr(leaf, "shape", ())
+        if n <= 1 or len(shape) == 0:
+            return P()
+        for d, s in enumerate(shape):
+            if s >= n and s % n == 0:
+                return P(*([None] * d + [axis]))
+        return P()
+
+    return jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(mesh, spec_for(leaf)), opt_state
+    )
 
 
 def apply_shardings(tree, shardings):

@@ -136,6 +136,16 @@ def train(output_directory, log_directory, checkpoint_path, warm_start,
         from fac_via_ppg_tpu.parallel.mesh import normalize_tree_placement
 
         opt_state = normalize_tree_placement(mesh, optimizer.init(params))
+    elif getattr(hparams, "zero_sharded_opt_state", False):
+        # ZeRO-1: Adam moments shard over the data axis
+        from fac_via_ppg_tpu.parallel.sharding import (
+            apply_shardings,
+            optimizer_state_shardings,
+        )
+
+        opt_state = apply_shardings(
+            opt_state, optimizer_state_shardings(mesh, opt_state)
+        )
     else:
         opt_state = replicate(mesh, opt_state)
     model_state = replicate(mesh, model_state)
@@ -176,14 +186,13 @@ def train(output_directory, log_directory, checkpoint_path, warm_start,
                 },
             )
             params = place_params(restored["params"])
-            if n_model > 1:
-                # re-impose the TP layout on the optimizer moments too
-                opt_state = jax.tree_util.tree_map(
-                    lambda r, t: jax.device_put(np.asarray(r), t.sharding),
-                    restored["opt_state"], opt_state,
-                )
-            else:
-                opt_state = replicate(mesh, restored["opt_state"])
+            # re-impose the template layout (TP moment layout / ZeRO-1
+            # data-sharded moments / plain replication) on restored state
+            opt_state = jax.tree_util.tree_map(
+                lambda r, t: jax.device_put(np.asarray(r), t.sharding)
+                if hasattr(t, "sharding") else r,
+                restored["opt_state"], opt_state,
+            )
             model_state = replicate(
                 mesh, restored.get("model_state", model_state)
             )

@@ -39,7 +39,8 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
           data_config=None, waveglow_config=None, train_dtype="float32",
           grad_accum_steps=1, lr_schedule="constant", lr_warmup_steps=0,
           lr_decay_steps=0, lr_decay_rate=1.0, lr_min_factor=0.0,
-          tensor_parallel_devices=1, data_parallel_devices=None):
+          tensor_parallel_devices=1, data_parallel_devices=None,
+          zero_sharded_opt_state=False):
     """Signature mirrors the reference train() (train_waveglow.py:66).
 
     `train_dtype` is a TPU extension: "bfloat16" runs the flows' forward/
@@ -47,7 +48,9 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
     `grad_accum_steps` evaluates the batch as that many sequential
     micro-batches with averaged gradients (see train/step.py).
     `tensor_parallel_devices` > 1 builds a (data, model) mesh and shards
-    the WN hidden channel over the model axis (parallel/sharding.py).
+    the WN hidden channel over the model axis (parallel/sharding.py);
+    `zero_sharded_opt_state` shards the Adam moments over the data axis
+    (ZeRO-1) in pure-DP runs.
     """
     del num_gpus, rank, group_name  # single-controller JAX
 
@@ -78,7 +81,18 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
         place_params = lambda p: replicate(mesh, p)  # noqa: E731
         opt_state = optimizer.init(params)  # host params: plain layout
         params = place_params(params)
-        opt_state = replicate(mesh, opt_state)
+        if zero_sharded_opt_state:
+            # ZeRO-1: Adam moments shard over the data axis
+            from fac_via_ppg_tpu.parallel.sharding import (
+                apply_shardings,
+                optimizer_state_shardings,
+            )
+
+            opt_state = apply_shardings(
+                opt_state, optimizer_state_shardings(mesh, opt_state)
+            )
+        else:
+            opt_state = replicate(mesh, opt_state)
 
     step = make_waveglow_train_step(
         cfg, optimizer, sigma=sigma,
@@ -210,7 +224,8 @@ def main(config_file_path: str = DEFAULT_WAVEGLOW_CONFIG_PATH, **overrides):
     train_config = dict(config["train_config"])
     # mesh-shape extensions are CLI/override-only keys (absent from the
     # reference's config.json sections)
-    mesh_keys = ("tensor_parallel_devices", "data_parallel_devices")
+    mesh_keys = ("tensor_parallel_devices", "data_parallel_devices",
+                 "zero_sharded_opt_state")
     train_config.update(
         {k: v for k, v in overrides.items()
          if k in train_config or k in mesh_keys}

@@ -354,6 +354,75 @@ def test_tacotron2_tp_step_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_zero_sharded_opt_state_matches_replicated(rng):
+    """ZeRO-1 (Adam moments sharded over 'data') == replicated optimizer.
+
+    The moment update is elementwise, so sharding it changes program
+    layout only: GSPMD keeps the moment updates shard-local and
+    all-gathers the param delta.  Verifies (a) multi-step param equality,
+    (b) the moments are actually distributed (per-device shard strictly
+    smaller than the leaf).
+
+    Momentum-SGD, not Adam: like the DP/TP equivalence tests above, the
+    cross-layout comparison must stay linear in the gradients — Adam's
+    first update is ~lr*sign(g), so float reassociation between layouts
+    on near-zero-gradient leaves flips it by O(lr) (observed 1.9e-4 at
+    lr=1e-3), masking nothing but drowning the check.  Momentum state
+    has the same shapes as Adam moments, so the ZeRO mechanics
+    (shard-local state update + delta all-gather) are identical; the
+    Adam+ZeRO composition itself runs in dryrun_multichip[waveglow]."""
+    if jax.device_count() < 8:
+        pytest.skip("needs an 8-device mesh")
+
+    import optax
+    from jax.sharding import PartitionSpec as P
+
+    from fac_via_ppg_tpu.parallel.sharding import (
+        apply_shardings,
+        optimizer_state_shardings,
+    )
+
+    params, state = init_tacotron2(jax.random.PRNGKey(0), CFG)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0), optax.sgd(1e-2, momentum=0.9)
+    )
+    step = make_tacotron2_train_step(CFG, optimizer, donate=False)
+    batch = _batch(rng, B=8)
+    key = jax.random.PRNGKey(2)
+
+    mesh = make_mesh(data=8, model=1)
+    sharded_batch = shard_batch(mesh, batch)
+
+    # replicated reference trajectory (same DP program apart from layout)
+    p_r = replicate(mesh, params)
+    s_r = replicate(mesh, state)
+    o_r = replicate(mesh, optimizer.init(params))
+
+    # ZeRO trajectory
+    p_z = replicate(mesh, params)
+    s_z = replicate(mesh, state)
+    o_z = optimizer.init(params)
+    shardings = optimizer_state_shardings(mesh, o_z)
+    specs = [s.spec for s in jax.tree_util.tree_leaves(shardings)]
+    assert any(sp != P() for sp in specs), "ZeRO sharded nothing"
+    o_z = apply_shardings(o_z, shardings)
+    dist = [
+        leaf for leaf in jax.tree_util.tree_leaves(o_z)
+        if hasattr(leaf, "addressable_shards")
+        and leaf.ndim > 0
+        and leaf.addressable_shards[0].data.size < leaf.size
+    ]
+    assert dist, "no moment leaf is actually distributed"
+
+    for _ in range(3):
+        out_r = step(p_r, s_r, o_r, sharded_batch, key)
+        p_r, s_r, o_r = out_r.params, out_r.model_state, out_r.opt_state
+        out_z = step(p_z, s_z, o_z, sharded_batch, key)
+        p_z, s_z, o_z = out_z.params, out_z.model_state, out_z.opt_state
+    for a, b in zip(jax.tree.leaves(p_r), jax.tree.leaves(p_z)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_tacotron2_bf16_train_step(rng):
     """bf16 compute policy: float32 params/opt/BN-stats throughout, finite
     loss tracking the float32 trajectory (train/step.py compute_dtype)."""
@@ -745,6 +814,75 @@ def test_train_waveglow_lr_schedule_wired(tmp_path, rng):
     for a, b in zip(jax.tree.leaves(saved["params"]),
                     jax.tree.leaves(params_init)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_waveglow_cli_zero_sharded_opt(tmp_path, rng):
+    """train_waveglow.train() with zero_sharded_opt_state=True: the Adam
+    moments run data-sharded through the real trainer, the checkpoint
+    round-trips, and a resume re-imposes the ZeRO layout."""
+    import glob
+    import os
+
+    from scipy.io import wavfile
+
+    from fac_via_ppg_tpu.scripts.train_waveglow import train
+
+    if jax.device_count() < 8:
+        pytest.skip("needs an 8-device mesh")
+
+    wavs = []
+    for i in range(8):
+        t = np.arange(6000) / 16000.0
+        p = str(tmp_path / f"w{i}.wav")
+        wavfile.write(p, 16000, (np.sin(2 * np.pi * (200 + 20 * i) * t)
+                                 * 9000).astype(np.int16))
+        wavs.append(p)
+    filelist = str(tmp_path / "files.txt")
+    with open(filelist, "w") as f:
+        f.write("\n".join(wavs) + "\n")
+
+    data_config = dict(
+        training_files=filelist, segment_length=2048, sampling_rate=16000,
+        filter_length=256, hop_length=64, win_length=256,
+        mel_fmin=0.0, mel_fmax=8000.0, n_mel_channels=16,
+    )
+    waveglow_config = dict(
+        n_mel_channels=16, hop_length=64, n_flows=2, n_group=8,
+        n_early_every=4, n_early_size=2,
+        WN_config=dict(n_layers=2, n_channels=16, kernel_size=3),
+    )
+    out_dir = str(tmp_path / "run_zero")
+
+    def assert_zero_layout(opt_state):
+        dist = [
+            leaf for leaf in jax.tree.leaves(opt_state)
+            if hasattr(leaf, "addressable_shards")
+            and getattr(leaf, "ndim", 0) > 0
+            and leaf.addressable_shards[0].data.size < leaf.size
+        ]
+        assert dist, "no optimizer leaf is data-sharded"
+
+    params, opt_state, iteration = train(
+        1, 0, "", out_dir, epochs=1, learning_rate=1e-4, sigma=0.7071,
+        iters_per_checkpoint=1, batch_size=8, seed=1,
+        checkpoint_path="", data_config=data_config,
+        waveglow_config=waveglow_config, zero_sharded_opt_state=True,
+    )
+    assert iteration == 1
+    for leaf in jax.tree.leaves(params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert_zero_layout(opt_state)
+
+    cks = glob.glob(os.path.join(out_dir, "waveglow_0"))
+    assert cks
+    params2, opt_state2, iteration2 = train(
+        1, 0, "", out_dir, epochs=2, learning_rate=1e-4, sigma=0.7071,
+        iters_per_checkpoint=10, batch_size=8, seed=1,
+        checkpoint_path=cks[0], data_config=data_config,
+        waveglow_config=waveglow_config, zero_sharded_opt_state=True,
+    )
+    assert iteration2 == 2
+    assert_zero_layout(opt_state2)
 
 
 def test_train_waveglow_cli_tensor_parallel(tmp_path, rng):
