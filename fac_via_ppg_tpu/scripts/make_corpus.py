@@ -18,10 +18,23 @@ Writes out_dir/wavs/utt####.wav plus filelists/training-set.txt and
 filelists/validation-set.txt (one absolute wav path per line, the format
 hparams.training_files expects — reference src/common/utils.py:92).
 
+Two difficulty styles:
+
+  * --style formant (default): the full random phone-sequence corpus
+    above.  Realistic segmental structure, but the PPG→mel mapping has
+    irreducible content unpredictability, so teacher-forced loss floors
+    around ~0.4 at study scale and the stop gate stays under threshold
+    (measured round 3: gate sigmoid ~0.02 at the true stop frame after
+    1500 iters for BOTH float32 and bfloat16).
+  * --style vowel: sustained vowel-like utterances (one fixed formant
+    set and near-constant f0 per utterance) — a near-deterministic
+    mapping that lets gate/duration-convergence studies isolate
+    stop-token learning from content unpredictability.
+
 Usage:
   python -m fac_via_ppg_tpu.scripts.make_corpus OUT_DIR \
       [--n_train 24] [--n_val 4] [--seed 16807] \
-      [--min_seconds 2.0] [--max_seconds 4.5]
+      [--min_seconds 2.0] [--max_seconds 4.5] [--style formant|vowel]
 """
 
 from __future__ import annotations
@@ -105,18 +118,51 @@ def make_utterance(rng: np.random.RandomState, seconds: float) -> np.ndarray:
     return np.concatenate([np.zeros(lead), sig, np.zeros(tail)])
 
 
+def make_vowel_utterance(rng: np.random.RandomState,
+                         seconds: float) -> np.ndarray:
+    """One sustained vowel-like utterance (--style vowel): a single
+    voiced segment with fixed formants and near-constant f0 (5 Hz
+    vibrato), 30 ms raised-cosine edges, 0.1 s lead / 0.2 s tail
+    silence."""
+    n = int(seconds * SR)
+    lead = int(0.1 * SR)
+    tail = int(0.2 * SR)
+    ns = max(n - lead - tail, SR // 2)
+    f0 = rng.uniform(100, 200)
+    t = np.arange(ns) / SR
+    phase = np.cumsum((f0 * (1 + 0.02 * np.sin(2 * np.pi * 5 * t))) / SR)
+    exc = np.floor(phase) - np.floor(np.concatenate([[0.0], phase[:-1]]))
+    exc += 0.01 * rng.randn(ns)
+    formants = rng.uniform([350, 1000, 2300], [800, 2200, 3200])
+    y = exc
+    for f in formants:
+        b, a = _resonator(float(f), 90.0)
+        y = lfilter(b, a, y)
+    edge = int(0.03 * SR)
+    env = np.ones(ns)
+    ramp = 0.5 - 0.5 * np.cos(np.linspace(0, np.pi, edge))
+    env[:edge] *= ramp
+    env[-edge:] *= ramp[::-1]
+    y = y * env
+    y = y / (np.max(np.abs(y)) + 1e-9) * 0.55
+    return np.concatenate([np.zeros(lead), y, np.zeros(tail)])
+
+
 def make_corpus(out_dir: str, n_train: int = 24, n_val: int = 4,
                 seed: int = 16807, min_seconds: float = 2.0,
-                max_seconds: float = 4.5) -> dict:
+                max_seconds: float = 4.5, style: str = "formant") -> dict:
     wav_dir = os.path.join(out_dir, "wavs")
     fl_dir = os.path.join(out_dir, "filelists")
     os.makedirs(wav_dir, exist_ok=True)
     os.makedirs(fl_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
     paths = []
+    if style not in ("formant", "vowel"):
+        raise ValueError(f"unknown corpus style {style!r}")
+    gen = make_utterance if style == "formant" else make_vowel_utterance
     for i in range(n_train + n_val):
         seconds = rng.uniform(min_seconds, max_seconds)
-        wav = make_utterance(rng, seconds)
+        wav = gen(rng, seconds)
         path = os.path.join(wav_dir, f"utt{i:04d}.wav")
         wavfile.write(path, SR, (wav * 32767 * 0.9).astype(np.int16))
         paths.append(path)
@@ -138,8 +184,10 @@ if __name__ == "__main__":
     parser.add_argument("--seed", type=int, default=16807)
     parser.add_argument("--min_seconds", type=float, default=2.0)
     parser.add_argument("--max_seconds", type=float, default=4.5)
+    parser.add_argument("--style", default="formant",
+                        choices=("formant", "vowel"))
     args = parser.parse_args()
     out = make_corpus(args.out_dir, args.n_train, args.n_val, args.seed,
-                      args.min_seconds, args.max_seconds)
+                      args.min_seconds, args.max_seconds, args.style)
     print(out["training_files"])
     print(out["validation_files"])
