@@ -195,6 +195,18 @@ class FusedSynthesizer:
         repeats (outputs trimmed) so a partially-filled micro-batch reuses
         the full-batch compiled program instead of compiling a new shape.
         """
+        return self.collect_feature_pairs(
+            self.launch_feature_pairs(pairs, key, pad_batch_to=pad_batch_to)
+        )
+
+    def launch_feature_pairs(self, pairs, key=None,
+                             pad_batch_to: Optional[int] = None):
+        """Assemble + dispatch one fused micro-batch WITHOUT blocking on
+        the result: JAX's async dispatch returns device buffers that are
+        still executing.  `collect_feature_pairs` blocks on the readback.
+        Splitting launch from collect lets a serving loop keep the chip
+        busy on batch N+1 while batch N's PCM drains back over the host
+        link (eval/streaming.py pipeline_depth)."""
         key = key if key is not None else jax.random.PRNGKey(0)
         n_real = len(pairs)
         t_max = max(f.shape[0] for f, _ in pairs)
@@ -227,6 +239,12 @@ class FusedSynthesizer:
             self.t2_params, self.t2_state, self.wg_params, self._bias,
             feats, n_frames, key,
         )
+        return pcm, mel_lens, n_real
+
+    def collect_feature_pairs(self, handle):
+        """Block on an in-flight `launch_feature_pairs` handle and return
+        the list of trimmed int16 PCM arrays."""
+        pcm, mel_lens, n_real = handle
         pcm = np.asarray(pcm)
         mel_lens = np.asarray(mel_lens)
         hop = self.wg_cfg.hop_length

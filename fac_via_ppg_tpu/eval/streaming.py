@@ -126,7 +126,7 @@ class StreamingAccentConverter:
                  queue_depth: int = 4, serving_dtype=None,
                  fused: bool = False, batch_size: int = 1,
                  frontend_threads: int = 1, data_parallel: bool = False,
-                 model_parallel: int = 1):
+                 model_parallel: int = 1, pipeline_depth: int = 2):
         self.t2_cfg = t2_cfg
         self.tacotron_params = tacotron_params
         self.tacotron_state = tacotron_state
@@ -143,6 +143,10 @@ class StreamingAccentConverter:
         self.serving_dtype = serving_dtype
         self.batch_size = batch_size
         self.frontend_threads = frontend_threads
+        # max micro-batches in flight on the device (batch_size > 1 only):
+        # depth 2 overlaps batch N+1's device execution with batch N's PCM
+        # readback + host work; depth 1 is the old synchronous behavior.
+        self.pipeline_depth = max(int(pipeline_depth), 1)
         self.fused = None
         if fused:
             # device side becomes one XLA program per utterance
@@ -246,7 +250,12 @@ class StreamingAccentConverter:
         `batch_size` utterances (1 = per utterance).  Micro-batches block
         until full (the stream tail flushes partial, padded to the
         compiled batch shape) — a throughput mode; for lowest
-        per-utterance latency use batch_size=1."""
+        per-utterance latency use batch_size=1.
+
+        Up to `pipeline_depth` micro-batches stay in flight: batch N+1 is
+        dispatched (JAX async) before batch N's PCM readback, so device
+        execution overlaps the device->host drain and the host-side batch
+        assembly instead of idling between calls."""
         key = key if key is not None else jax.random.PRNGKey(0)
         stream = _frontend_pool(
             wav_paths, self.fused.featurize,
@@ -255,18 +264,28 @@ class StreamingAccentConverter:
         )
 
         pending = []
+        inflight: list = []  # FIFO of (batch, handle, t_launch)
+        last_done = [0.0]
 
-        def flush():
+        def launch():
             nonlocal key, pending
             batch, pending = pending, []
-            t0 = time.perf_counter()
             key, sub = jax.random.split(key)
-            pcms = self.fused.synthesize_feature_pairs(
+            handle = self.fused.launch_feature_pairs(
                 [pair for _, pair, _, _ in batch], sub,
                 pad_batch_to=self.batch_size,
             )
+            inflight.append((batch, handle, time.perf_counter()))
+
+        def collect():
+            batch, handle, t0 = inflight.pop(0)
+            pcms = self.fused.collect_feature_pairs(handle)
             t_done = time.perf_counter()
-            device_s = (t_done - t0) / len(batch)
+            # Critical-path attribution: when batches overlap, this
+            # batch's pipeline cost is the time it advanced the stream
+            # past the previous collect, not its full launch->done span.
+            device_s = (t_done - max(t0, last_done[0])) / len(batch)
+            last_done[0] = t_done
             for (path, _, frontend_s, t_arr), pcm in zip(batch, pcms):
                 yield StreamResult(
                     wav_path=path,
@@ -295,9 +314,13 @@ class StreamingAccentConverter:
                 continue
             pending.append(item)
             if len(pending) >= self.batch_size:
-                yield from flush()
+                launch()
+                if len(inflight) >= self.pipeline_depth:
+                    yield from collect()
         if pending:
-            yield from flush()
+            launch()
+        while inflight:
+            yield from collect()
 
 
 def main():
@@ -326,6 +349,10 @@ def main():
                         help="shard the WaveGlow WN channel over a "
                              "'model' mesh axis of this size (needs "
                              "--fused; composes with --data_parallel)")
+    parser.add_argument("--pipeline_depth", type=int, default=2,
+                        help="micro-batches in flight on the device "
+                             "(batch_size > 1): 2 overlaps execution "
+                             "with PCM readback; 1 = synchronous")
     args = parser.parse_args()
 
     hparams = create_hparams_stage()
@@ -349,6 +376,7 @@ def main():
         frontend_threads=args.frontend_threads,
         data_parallel=args.data_parallel,
         model_parallel=args.model_parallel,
+        pipeline_depth=args.pipeline_depth,
     )
     total_audio = total_wall = 0.0
     steady_audio = steady_wall = 0.0

@@ -176,6 +176,60 @@ def test_streaming_prewarm_is_transparent(tmp_path, rng):
     staged.prewarm()
 
 
+def test_streaming_pipeline_depth_is_transparent(tmp_path, rng):
+    """Overlapped micro-batches (pipeline_depth > 1) must serve exactly
+    the same audio in the same order as the synchronous depth-1 loop:
+    the launch order (and so the PRNG split order) is depth-invariant."""
+    wavs = []
+    for i in range(7):
+        t = np.arange(4800 + 160 * i) / 16000.0
+        p = str(tmp_path / f"u{i}.wav")
+        wavfile.write(p, 16000,
+                      (np.sin(2 * np.pi * (190 + 25 * i) * t) * 9000)
+                      .astype(np.int16))
+        wavs.append(p)
+
+    make_bundle(str(tmp_path / "bundle"), n_senones=16, n_phones=4,
+                hidden_dim=8, num_layers=1)
+    deps = DependenciesPPG(
+        nnet_path=str(tmp_path / "bundle" / "am" / "final.raw.txt"),
+        lda_path=str(tmp_path / "bundle" / "feats" / "final.mat"),
+        reduce_dim_path=str(tmp_path / "bundle" / "feats" / "reduce_dim.mat"),
+        splice_opts_path=str(tmp_path / "bundle" / "feats" / "splice_opts"),
+    )
+    t2_cfg = Tacotron2Config(
+        n_symbols=16, symbols_embedding_dim=16, encoder_embedding_dim=16,
+        decoder_rnn_dim=12, prenet_dim=8, attention_rnn_dim=12,
+        attention_dim=8, attention_location_n_filters=4,
+        attention_location_kernel_size=7, postnet_embedding_dim=16,
+        max_decoder_steps=20,
+    )
+    t2_params, t2_state = init_tacotron2(jax.random.PRNGKey(0), t2_cfg)
+    wg_cfg = WaveGlowConfig(
+        n_mel_channels=80, hop_length=160, n_flows=2, n_group=8,
+        n_early_every=4, n_early_size=2, wn_n_layers=2, wn_n_channels=16,
+        wn_kernel_size=3, upsample_kernel_size=1024,
+    )
+    wg_params = remove_weightnorm(init_waveglow(jax.random.PRNGKey(1), wg_cfg))
+
+    def run(depth):
+        conv = StreamingAccentConverter(
+            t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps=deps,
+            denoiser_strength=0.005, fused=True, batch_size=2,
+            pipeline_depth=depth,
+        )
+        return list(conv.run(wavs, key=jax.random.PRNGKey(11)))
+
+    sync = run(1)
+    assert [r.wav_path for r in sync] == wavs  # 3 full batches + partial
+    for depth in (2, 3):
+        piped = run(depth)
+        assert [r.wav_path for r in piped] == wavs
+        for a, b in zip(sync, piped):
+            np.testing.assert_array_equal(a.audio, b.audio)
+            assert b.latency_seconds >= b.wall_seconds - 1e-6
+
+
 def test_streaming_source_is_lazy(tmp_path, rng):
     """A generator source must not be drained up front: production stays
     bounded by the queue depths while results stream out."""
