@@ -398,10 +398,13 @@ def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0,
 
 
 def bench_train_ppg2mel(warmup: int = 3, iters: int = 20,
-                        train_dtype: str = "float32") -> dict:
+                        train_dtype: str = "float32",
+                        batch: int = 6) -> dict:
     """BASELINE config 3: PPG2Mel training step at the paper operating
     point (batch 6, ~4 s utterances = 400 mel frames, Adam + grad clip).
-    `--train_dtype bfloat16` measures the mixed-precision step."""
+    `--train_dtype bfloat16` measures the mixed-precision step; `--batch`
+    scales the batch (the step is scan-latency-bound at the reference
+    B=6, so larger batches raise RT nearly for free — docs/PERF.md)."""
     from fac_via_ppg_tpu.configs.hparams import Tacotron2Config, create_hparams
     from fac_via_ppg_tpu.models.tacotron2 import init_tacotron2
     from fac_via_ppg_tpu.train.optim import make_optimizer
@@ -419,7 +422,7 @@ def bench_train_ppg2mel(warmup: int = 3, iters: int = 20,
                        else jnp.dtype(train_dtype)),
     )
 
-    B, t_in, t_out = 6, 400, 400
+    B, t_in, t_out = batch, 400, 400
     rng = np.random.RandomState(0)
     ppg = jnp.asarray(np.abs(rng.rand(B, cfg.n_symbols, t_in)), jnp.float32)
     in_len = jnp.asarray([t_in] * B, jnp.int64)
@@ -528,7 +531,8 @@ if __name__ == "__main__":
             frontend_threads=args.frontend_threads,
             pipeline_depth=args.pipeline_depth),
         "train_ppg2mel":
-            lambda: bench_train_ppg2mel(train_dtype=args.train_dtype),
+            lambda: bench_train_ppg2mel(train_dtype=args.train_dtype,
+                                        batch=args.batch or 6),
         "train_waveglow":
             lambda: bench_train_waveglow(train_dtype=args.train_dtype),
     }

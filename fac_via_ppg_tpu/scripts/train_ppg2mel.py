@@ -226,14 +226,17 @@ def _train_loop(hparams, cfg, mesh, params, model_state, opt_state, optimizer,
                 pad_to, place):
     from fac_via_ppg_tpu.data.prefetch import prefetch
 
+    from fac_via_ppg_tpu.train.preemption import PreemptionGuard
+
     saver = ckpt.AsyncCheckpointSaver()
     try:
-        result = _epoch_loop(
-            hparams, cfg, mesh, params, model_state, opt_state, optimizer,
-            train_step, eval_step, train_loader, valset, logger, key,
-            learning_rate, iteration, epoch_offset, output_directory,
-            pad_to, place, prefetch, saver,
-        )
+        with PreemptionGuard() as guard:
+            result = _epoch_loop(
+                hparams, cfg, mesh, params, model_state, opt_state,
+                optimizer, train_step, eval_step, train_loader, valset,
+                logger, key, learning_rate, iteration, epoch_offset,
+                output_directory, pad_to, place, prefetch, saver, guard,
+            )
     except BaseException:
         # land any announced in-flight checkpoint even on crash/interrupt
         # (checkpoint_path='auto' recovery depends on it) — without
@@ -251,7 +254,7 @@ def _train_loop(hparams, cfg, mesh, params, model_state, opt_state, optimizer,
 def _epoch_loop(hparams, cfg, mesh, params, model_state, opt_state, optimizer,
                 train_step, eval_step, train_loader, valset, logger, key,
                 learning_rate, iteration, epoch_offset, output_directory,
-                pad_to, place, prefetch, saver):
+                pad_to, place, prefetch, saver, guard=None):
     from fac_via_ppg_tpu.train.optim import make_lr_schedule
 
     # `learning_rate` stays the BASE rate: checkpoints store it (so
@@ -321,6 +324,26 @@ def _epoch_loop(hparams, cfg, mesh, params, model_state, opt_state, optimizer,
                     )
 
             iteration += 1
+
+            if guard is not None and guard.should_stop():
+                last = iteration - 1
+                if (jax.process_index() == 0
+                        and last % hparams.iters_per_checkpoint != 0):
+                    path = os.path.join(
+                        output_directory, "checkpoint_{}".format(last)
+                    )
+                    print(
+                        "Preemption: saving final checkpoint at iteration "
+                        "{} to {}".format(last, path)
+                    )
+                    saver.save(
+                        path, params, opt_state, learning_rate, last,
+                        model_state,
+                    )
+                print(
+                    "Preemption: exiting cleanly after iteration", last
+                )
+                return params, model_state, opt_state, iteration
 
     return params, model_state, opt_state, iteration
 

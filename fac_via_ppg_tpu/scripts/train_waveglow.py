@@ -155,11 +155,14 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
             warmup_steps=lr_warmup_steps, decay_steps=lr_decay_steps,
             decay_rate=lr_decay_rate, min_factor=lr_min_factor,
         )
-        result = _waveglow_epoch_loop(
-            epochs, epoch_offset, train_loader, place, step, params,
-            opt_state, learning_rate, schedule, iters_per_checkpoint,
-            output_directory, logger, saver, iteration,
-        )
+        from fac_via_ppg_tpu.train.preemption import PreemptionGuard
+
+        with PreemptionGuard() as guard:
+            result = _waveglow_epoch_loop(
+                epochs, epoch_offset, train_loader, place, step, params,
+                opt_state, learning_rate, schedule, iters_per_checkpoint,
+                output_directory, logger, saver, iteration, guard,
+            )
     except BaseException:
         # land any announced in-flight checkpoint even on crash/interrupt
         # (checkpoint_path='auto' recovery depends on it) — without
@@ -177,7 +180,7 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
 def _waveglow_epoch_loop(epochs, epoch_offset, train_loader, place, step,
                          params, opt_state, base_lr, lr_schedule,
                          iters_per_checkpoint, output_directory, logger,
-                         saver, iteration):
+                         saver, iteration, guard=None):
     """Checkpoints store `base_lr`, not the scheduled per-step value —
     resume rebuilds the schedule from the base and the restored iteration
     (saving a mid-warmup/mid-decay value would restart training at the
@@ -213,6 +216,19 @@ def _waveglow_epoch_loop(epochs, epoch_offset, train_loader, place, step,
                         path, params, opt_state, base_lr, iteration
                     )
             iteration += 1
+
+            if guard is not None and guard.should_stop():
+                last = iteration - 1
+                if (jax.process_index() == 0
+                        and last % iters_per_checkpoint != 0):
+                    path = "{}/waveglow_{}".format(output_directory, last)
+                    print(
+                        "Preemption: saving final checkpoint at iteration "
+                        "{} to {}".format(last, path)
+                    )
+                    saver.save(path, params, opt_state, base_lr, last)
+                print("Preemption: exiting cleanly after iteration", last)
+                return params, opt_state, iteration
 
     return params, opt_state, iteration
 

@@ -948,3 +948,176 @@ def test_train_waveglow_cli_tensor_parallel(tmp_path, rng):
     assert iteration2 == 3
     for leaf in jax.tree.leaves(params2):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_preemption_guard_sigterm_and_uninstall():
+    """Real SIGTERM path: the guard's handler sets the flag (the process
+    survives), should_stop() reports it, and uninstall() restores the
+    previous handler so later tests are unaffected."""
+    import os
+    import signal
+
+    from fac_via_ppg_tpu.train.preemption import PreemptionGuard
+
+    before = signal.getsignal(signal.SIGTERM)
+    with PreemptionGuard() as guard:
+        assert not guard.should_stop()
+        os.kill(os.getpid(), signal.SIGTERM)  # handled, not fatal
+        assert guard.requested
+        assert guard.should_stop()
+    assert signal.getsignal(signal.SIGTERM) is before
+
+
+def test_train_waveglow_preemption_checkpoints_and_resumes(tmp_path, rng):
+    """SIGTERM mid-training: the trainer finishes the iteration in
+    flight, writes a final checkpoint, and RETURNS cleanly (no exception,
+    no lost work) — then checkpoint_path='auto' resumes from it.  The
+    signal is raised from the guard's own per-iteration poll so the
+    preemption iteration is deterministic."""
+    import glob
+    import os
+    import signal
+
+    from scipy.io import wavfile
+
+    from fac_via_ppg_tpu.train import preemption as pre_mod
+    from fac_via_ppg_tpu.scripts.train_waveglow import train
+
+    wavs = []
+    for i in range(8):
+        t = np.arange(6000) / 16000.0
+        p = str(tmp_path / f"w{i}.wav")
+        wavfile.write(p, 16000, (np.sin(2 * np.pi * (200 + 20 * i) * t)
+                                 * 9000).astype(np.int16))
+        wavs.append(p)
+    filelist = str(tmp_path / "files.txt")
+    with open(filelist, "w") as f:
+        f.write("\n".join(wavs) + "\n")
+
+    data_config = dict(
+        training_files=filelist, segment_length=2048, sampling_rate=16000,
+        filter_length=256, hop_length=64, win_length=256,
+        mel_fmin=0.0, mel_fmax=8000.0, n_mel_channels=16,
+    )
+    waveglow_config = dict(
+        n_mel_channels=16, hop_length=64, n_flows=2, n_group=8,
+        n_early_every=4, n_early_size=2,
+        WN_config=dict(n_layers=2, n_channels=16, kernel_size=3),
+    )
+
+    class FireAtThirdPoll(pre_mod.PreemptionGuard):
+        polls = 0
+
+        def should_stop(self):
+            FireAtThirdPoll.polls += 1
+            if FireAtThirdPoll.polls == 3:
+                # a REAL eviction notice, delivered to ourselves; the
+                # handler runs before super().should_stop() returns
+                os.kill(os.getpid(), signal.SIGTERM)
+            return super().should_stop()
+
+    out_dir = str(tmp_path / "run")
+    orig = pre_mod.PreemptionGuard
+    pre_mod.PreemptionGuard = FireAtThirdPoll
+    try:
+        params, opt_state, iteration = train(
+            1, 0, "", out_dir, epochs=2000, learning_rate=1e-4,
+            sigma=0.7071, iters_per_checkpoint=1000, batch_size=8, seed=1,
+            checkpoint_path="", data_config=data_config,
+            waveglow_config=waveglow_config,
+        )
+    finally:
+        pre_mod.PreemptionGuard = orig
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL or callable(
+        signal.getsignal(signal.SIGTERM)
+    )  # guard uninstalled (pytest may own a handler)
+    # preempted on the 3rd poll => iterations 0,1,2 completed
+    assert iteration == 3
+    cks = sorted(os.path.basename(p) for p in
+                 glob.glob(os.path.join(out_dir, "waveglow_*")))
+    assert "waveglow_2" in cks, cks  # the preemption checkpoint landed
+    for leaf in jax.tree.leaves(params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+    # zero lost work: auto-resume continues from the preemption save
+    _, _, iteration2 = train(
+        1, 0, "", out_dir, epochs=5, learning_rate=1e-4, sigma=0.7071,
+        iters_per_checkpoint=1000, batch_size=8, seed=1,
+        checkpoint_path="auto", data_config=data_config,
+        waveglow_config=waveglow_config,
+    )
+    assert iteration2 == 5
+
+
+def test_train_ppg2mel_preemption_checkpoint(tmp_path, rng, monkeypatch):
+    """Same eviction contract for the Tacotron2 trainer: SIGTERM ->
+    final checkpoint at the completed iteration + clean return."""
+    import glob
+    import os
+    import signal
+
+    from scipy.io import wavfile
+
+    from fac_via_ppg_tpu.configs.hparams import create_hparams
+    from fac_via_ppg_tpu.data import ppg_mel_dataset as ds_mod
+    from fac_via_ppg_tpu.frontend.ppg import DependenciesPPG
+    from fac_via_ppg_tpu.scripts.make_substitute_am import make_bundle
+    from fac_via_ppg_tpu.train import preemption as pre_mod
+    from fac_via_ppg_tpu.scripts.train_ppg2mel import train
+
+    make_bundle(str(tmp_path / "bundle"), n_senones=16, n_phones=4,
+                hidden_dim=8, num_layers=1)
+    deps = DependenciesPPG(
+        nnet_path=str(tmp_path / "bundle" / "am" / "final.raw.txt"),
+        lda_path=str(tmp_path / "bundle" / "feats" / "final.mat"),
+        reduce_dim_path=str(tmp_path / "bundle" / "feats" / "reduce_dim.mat"),
+        splice_opts_path=str(tmp_path / "bundle" / "feats" / "splice_opts"),
+    )
+    monkeypatch.setattr(ds_mod, "DependenciesPPG", lambda: deps)
+
+    wavs = []
+    for i in range(9):
+        t = np.arange(4800 + 160 * i) / 16000.0
+        p = str(tmp_path / f"w{i}.wav")
+        wavfile.write(p, 16000, (np.sin(2 * np.pi * (180 + 15 * i) * t)
+                                 * 9000).astype(np.int16))
+        wavs.append(p)
+    train_list = str(tmp_path / "train.txt")
+    val_list = str(tmp_path / "val.txt")
+    with open(train_list, "w") as f:
+        f.write("\n".join(wavs[:8]) + "\n")
+    with open(val_list, "w") as f:
+        f.write(wavs[8] + "\n")
+
+    class FireAtSecondPoll(pre_mod.PreemptionGuard):
+        polls = 0
+
+        def should_stop(self):
+            FireAtSecondPoll.polls += 1
+            if FireAtSecondPoll.polls == 2:
+                os.kill(os.getpid(), signal.SIGTERM)
+            return super().should_stop()
+
+    out_dir = str(tmp_path / "run")
+    hp = create_hparams(
+        training_files=train_list, validation_files=val_list,
+        output_directory=out_dir, log_directory="log",
+        checkpoint_path="", epochs=2000, batch_size=8,
+        iters_per_checkpoint=1000, seed=1, length_bucket_size=32,
+        n_symbols=16, symbols_embedding_dim=16, encoder_embedding_dim=16,
+        decoder_rnn_dim=12, prenet_dim=8, attention_rnn_dim=12,
+        attention_dim=8, attention_location_n_filters=4,
+        attention_location_kernel_size=7, postnet_embedding_dim=16,
+        max_decoder_steps=16,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    monkeypatch.setattr(pre_mod, "PreemptionGuard", FireAtSecondPoll)
+    params, model_state, opt_state, iteration = train(
+        out_dir, "log", "", False, 1, 0, "", hp,
+    )
+    assert iteration == 2  # iterations 0, 1 completed
+    cks = sorted(os.path.basename(p) for p in
+                 glob.glob(os.path.join(out_dir, "checkpoint_*")))
+    assert "checkpoint_1" in cks, cks
+    for leaf in jax.tree.leaves(params):
+        assert np.isfinite(np.asarray(leaf)).all()
