@@ -299,6 +299,22 @@ def main():
     # phase 3: fused DP serving call across both processes
     audio, mel_lens, seen = run_serving(jax, make_mesh())
 
+    # phase 4: preemption-guard broadcast semantics — the coordinated
+    # exit decision is rank 0's flag (train/preemption.should_stop): a
+    # request on a non-zero rank alone must NOT stop the job, rank 0's
+    # request must stop every process, and the poll itself must be
+    # callable in lockstep (it is a collective).
+    from fac_via_ppg_tpu.train.preemption import PreemptionGuard
+
+    guard = PreemptionGuard(signals=())  # no handler: just the protocol
+    votes = [guard.should_stop()]  # nobody requested
+    if jax.process_index() != 0:
+        guard.request()
+    votes.append(guard.should_stop())  # non-zero rank only: still run
+    if jax.process_index() == 0:
+        guard.request()
+    votes.append(guard.should_stop())  # rank 0 leads: everyone stops
+
     np.savez(
         out_path,
         losses=np.array(losses),
@@ -310,6 +326,7 @@ def main():
         serve_audio=audio,
         serve_mel_lens=mel_lens,
         serve_seen=seen,
+        preempt_votes=np.array(votes),
         **{f"leaf_{i}": leaf for i, leaf in enumerate(leaves)},
         **{f"tp_leaf_{i}": leaf for i, leaf in enumerate(tp_leaves)},
     )
