@@ -56,6 +56,12 @@ class StreamResult:
     # device call (an utterance isn't done until its batch is), i.e. the
     # latency price of throughput batching — quote p50/p95 of this.
     latency_seconds: float = 0.0
+    # on_error='skip': the front-end failure for this utterance (audio is
+    # empty); None for successful conversions
+    error: Optional[str] = None
+
+
+_FRONTEND_ERROR = object()
 
 
 def _frontend_pool(wav_paths, featurize_fn, n_workers: int,
@@ -68,7 +74,12 @@ def _frontend_pool(wav_paths, featurize_fn, n_workers: int,
     generator: a feeder thread pulls paths one at a time through a
     bounded queue, so production overlaps consumption and nothing is
     drained eagerly.  Yield order follows featurization completion, not
-    input order.  A worker exception is re-raised at the stream end.
+    input order.
+
+    A featurization failure does NOT kill the worker: the item is
+    yielded with `payload is _FRONTEND_ERROR` and the exception in the
+    frontend_seconds slot — the consumer decides (raise vs skip).  A
+    failure of the source iterable itself is re-raised at stream end.
     """
     path_q: queue.Queue = queue.Queue(maxsize=max(queue_depth, 1))
     feat_q: queue.Queue = queue.Queue(maxsize=max(queue_depth, 1))
@@ -95,7 +106,11 @@ def _frontend_pool(wav_paths, featurize_fn, n_workers: int,
                 if path is _PSENT:
                     break
                 t0 = time.perf_counter()
-                payload = featurize_fn(path)
+                try:
+                    payload = featurize_fn(path)
+                except Exception as e:  # per-utterance: worker survives
+                    feat_q.put((path, _FRONTEND_ERROR, e, t0))
+                    continue
                 feat_q.put((path, payload, time.perf_counter() - t0, t0))
         except BaseException as e:
             errors.append(e)
@@ -126,7 +141,8 @@ class StreamingAccentConverter:
                  queue_depth: int = 4, serving_dtype=None,
                  fused: bool = False, batch_size: int = 1,
                  frontend_threads: int = 1, data_parallel: bool = False,
-                 model_parallel: int = 1, pipeline_depth: int = 2):
+                 model_parallel: int = 1, pipeline_depth: int = 2,
+                 on_error: str = "raise"):
         self.t2_cfg = t2_cfg
         self.tacotron_params = tacotron_params
         self.tacotron_state = tacotron_state
@@ -147,6 +163,14 @@ class StreamingAccentConverter:
         # depth 2 overlaps batch N+1's device execution with batch N's PCM
         # readback + host work; depth 1 is the old synchronous behavior.
         self.pipeline_depth = max(int(pipeline_depth), 1)
+        # per-utterance front-end failures: 'raise' aborts the stream,
+        # 'skip' yields an error-annotated StreamResult and keeps serving
+        # the rest (production isolation: one bad wav can't take down the
+        # stream)
+        if on_error not in ("raise", "skip"):
+            raise ValueError(f"on_error must be 'raise' or 'skip', "
+                             f"got {on_error!r}")
+        self.on_error = on_error
         self.fused = None
         if fused:
             # device side becomes one XLA program per utterance
@@ -199,6 +223,23 @@ class StreamingAccentConverter:
                 pad_batch_to=self.batch_size,
             )
 
+    def _error_result(self, path, exc, t_arr) -> StreamResult:
+        """on_error='skip': an empty, error-annotated result; 'raise':
+        abort the stream with the front-end failure."""
+        if self.on_error == "raise":
+            raise RuntimeError(
+                f"front-end failed for {path!r} (on_error='skip' serves "
+                f"past per-utterance failures)"
+            ) from exc
+        return StreamResult(
+            wav_path=path,
+            audio=np.zeros(0, np.float32),
+            audio_seconds=0.0,
+            wall_seconds=0.0,
+            latency_seconds=time.perf_counter() - t_arr,
+            error=f"{type(exc).__name__}: {exc}",
+        )
+
     def run(self, wav_paths, key=None):
         """Yields StreamResult per utterance, with stage overlap."""
         if self.fused is not None:
@@ -211,6 +252,9 @@ class StreamingAccentConverter:
             queue_depth=self.queue_depth,
         )
         for path, teacher_ppg, frontend_s, t_arr in stream:
+            if teacher_ppg is _FRONTEND_ERROR:
+                yield self._error_result(path, frontend_s, t_arr)
+                continue
             t0 = time.perf_counter()
             key, k_mel, k_wg = jax.random.split(key, 3)
             # Length-bucketed shapes throughout: one compiled decoder /
@@ -296,6 +340,10 @@ class StreamingAccentConverter:
                 )
 
         for item in stream:
+            if item[1] is _FRONTEND_ERROR:
+                path, _, exc, t_arr = item
+                yield self._error_result(path, exc, t_arr)
+                continue
             if self.batch_size == 1:
                 # single-utterance program (scalar stop step readback):
                 # the lowest-latency path, unchanged from before
@@ -353,6 +401,10 @@ def main():
                         help="micro-batches in flight on the device "
                              "(batch_size > 1): 2 overlaps execution "
                              "with PCM readback; 1 = synchronous")
+    parser.add_argument("--on_error", default="raise",
+                        choices=["raise", "skip"],
+                        help="per-utterance front-end failures: abort "
+                             "the stream, or log + keep serving")
     args = parser.parse_args()
 
     hparams = create_hparams_stage()
@@ -377,6 +429,7 @@ def main():
         data_parallel=args.data_parallel,
         model_parallel=args.model_parallel,
         pipeline_depth=args.pipeline_depth,
+        on_error=args.on_error,
     )
     total_audio = total_wall = 0.0
     steady_audio = steady_wall = 0.0
@@ -387,6 +440,10 @@ def main():
     warm = args.batch_size if args.batch_size > 1 else 1
     t_start = time.perf_counter()
     for result in converter.run(wavs):
+        if result.error is not None:
+            print(f"SKIPPED {result.wav_path}: {result.error}")
+            n += 1
+            continue
         out = os.path.join(
             args.output_dir,
             os.path.basename(result.wav_path).replace(".wav", "_ac.wav"),

@@ -230,6 +230,71 @@ def test_streaming_pipeline_depth_is_transparent(tmp_path, rng):
             assert b.latency_seconds >= b.wall_seconds - 1e-6
 
 
+def test_streaming_error_isolation(tmp_path, rng):
+    """A malformed utterance must not take down the stream: with
+    on_error='skip' it yields an error-annotated empty result while
+    every other utterance is served (micro-batched fused path, where a
+    poisoned batch would be worst); the default on_error='raise'
+    surfaces the failure as an exception naming the bad file."""
+    wavs = []
+    for i in range(5):
+        t = np.arange(4800) / 16000.0
+        p = str(tmp_path / f"u{i}.wav")
+        wavfile.write(p, 16000,
+                      (np.sin(2 * np.pi * (200 + 20 * i) * t) * 9000)
+                      .astype(np.int16))
+        wavs.append(p)
+    bad = str(tmp_path / "bad.wav")
+    with open(bad, "wb") as f:
+        f.write(b"not a RIFF file")
+    wavs.insert(2, bad)
+
+    make_bundle(str(tmp_path / "bundle"), n_senones=16, n_phones=4,
+                hidden_dim=8, num_layers=1)
+    deps = DependenciesPPG(
+        nnet_path=str(tmp_path / "bundle" / "am" / "final.raw.txt"),
+        lda_path=str(tmp_path / "bundle" / "feats" / "final.mat"),
+        reduce_dim_path=str(tmp_path / "bundle" / "feats" / "reduce_dim.mat"),
+        splice_opts_path=str(tmp_path / "bundle" / "feats" / "splice_opts"),
+    )
+    t2_cfg = Tacotron2Config(
+        n_symbols=16, symbols_embedding_dim=16, encoder_embedding_dim=16,
+        decoder_rnn_dim=12, prenet_dim=8, attention_rnn_dim=12,
+        attention_dim=8, attention_location_n_filters=4,
+        attention_location_kernel_size=7, postnet_embedding_dim=16,
+        max_decoder_steps=20,
+    )
+    t2_params, t2_state = init_tacotron2(jax.random.PRNGKey(0), t2_cfg)
+    wg_cfg = WaveGlowConfig(
+        n_mel_channels=80, hop_length=160, n_flows=2, n_group=8,
+        n_early_every=4, n_early_size=2, wn_n_layers=2, wn_n_channels=16,
+        wn_kernel_size=3, upsample_kernel_size=1024,
+    )
+    wg_params = remove_weightnorm(init_waveglow(jax.random.PRNGKey(1), wg_cfg))
+
+    def build(on_error):
+        return StreamingAccentConverter(
+            t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps=deps,
+            denoiser_strength=0.005, fused=True, batch_size=2,
+            on_error=on_error,
+        )
+
+    results = list(build("skip").run(wavs))
+    assert len(results) == 6
+    failed = [r for r in results if r.error is not None]
+    assert len(failed) == 1 and failed[0].wav_path == bad
+    assert failed[0].audio.size == 0
+    for r in results:
+        if r.error is None:
+            assert r.audio.size > 0 and np.isfinite(r.audio).all()
+
+    with pytest.raises(RuntimeError, match="bad.wav"):
+        list(build("raise").run(wavs))
+
+    with pytest.raises(ValueError):
+        build("typo")
+
+
 def test_streaming_source_is_lazy(tmp_path, rng):
     """A generator source must not be drained up front: production stays
     bounded by the queue depths while results stream out."""
