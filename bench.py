@@ -454,10 +454,12 @@ def bench_train_ppg2mel(warmup: int = 3, iters: int = 20,
 
 
 def bench_train_waveglow(warmup: int = 3, iters: int = 20,
-                         train_dtype: str = "float32") -> dict:
+                         train_dtype: str = "float32",
+                         batch: int = 3, remat: bool = False) -> dict:
     """BASELINE config 4: WaveGlow training step at the reference config
     (batch 3, 10000-sample segments, sigma 0.7071).
-    `--train_dtype bfloat16` measures the mixed-precision step."""
+    `--train_dtype bfloat16` measures the mixed-precision step; `--batch`
+    scales the batch for the throughput table in docs/PERF.md."""
     from fac_via_ppg_tpu.configs.hparams import WaveGlowConfig
     from fac_via_ppg_tpu.models.waveglow import init_waveglow
     from fac_via_ppg_tpu.train.optim import make_optimizer
@@ -471,9 +473,10 @@ def bench_train_waveglow(warmup: int = 3, iters: int = 20,
         cfg, optimizer, sigma=0.7071, donate=False,
         compute_dtype=(None if train_dtype == "float32"
                        else jnp.dtype(train_dtype)),
+        remat=remat,
     )
 
-    B, seg = 3, 10000
+    B, seg = batch, 10000
     F = -(-seg // cfg.hop_length)  # TacotronSTFT frame count (ceil)
     rng = np.random.RandomState(0)
     mel = jnp.asarray(rng.randn(B, 80, F) * 0.5 - 5.0, jnp.float32)
@@ -492,7 +495,7 @@ def bench_train_waveglow(warmup: int = 3, iters: int = 20,
         "unit": "s_per_iter",
         "vs_baseline": round(B * (seg / 16000.0) / s_per_it, 2),
         "detail": {"batch": B, "segment": seg, "iters": iters,
-                   "train_dtype": train_dtype,
+                   "train_dtype": train_dtype, "remat": remat,
                    "device": str(jax.devices()[0])},
     }
 
@@ -514,6 +517,10 @@ if __name__ == "__main__":
                              "default 1)")
     parser.add_argument("--frontend_threads", type=int, default=1,
                         help="host front-end worker threads (streaming)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize WaveGlow flows in backward "
+                             "(jax.checkpoint): ~12x less activation "
+                             "memory for larger training batches")
     parser.add_argument("--pipeline_depth", type=int, default=2,
                         help="streaming_fused micro-batches in flight "
                              "(2 overlaps device exec with PCM readback)")
@@ -534,6 +541,8 @@ if __name__ == "__main__":
             lambda: bench_train_ppg2mel(train_dtype=args.train_dtype,
                                         batch=args.batch or 6),
         "train_waveglow":
-            lambda: bench_train_waveglow(train_dtype=args.train_dtype),
+            lambda: bench_train_waveglow(train_dtype=args.train_dtype,
+                                        batch=args.batch or 3,
+                                        remat=args.remat),
     }
     print(json.dumps(runners[args.config]()))

@@ -364,8 +364,16 @@ def ungroup_audio(audio: jnp.ndarray) -> jnp.ndarray:
 # ==========================================================================
 
 def waveglow_forward(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
-                     audio: jnp.ndarray):
-    """((B, 80, F) mel, (B, T) audio) -> (z, log_s_list, log_det_w_list)."""
+                     audio: jnp.ndarray, remat: bool = False):
+    """((B, 80, F) mel, (B, T) audio) -> (z, log_s_list, log_det_w_list).
+
+    `remat=True` wraps each flow in `jax.checkpoint`: the backward pass
+    recomputes the flow's WN internals instead of keeping ~8 layers x
+    n_flows of (B, C, G) activations live — activation memory drops by
+    ~the WN depth for ~1/3 extra backward FLOPs, unlocking training
+    batches that otherwise exceed HBM (docs/PERF.md).  Numerically it
+    replays the identical ops, so the loss/grads match the unremat step.
+    """
     spect_up = upsample_phase_matmul(
         params["upsample"], spect, cfg.hop_length
     )
@@ -383,26 +391,34 @@ def waveglow_forward(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
             output_chunks.append(audio_g[:, : cfg.n_early_size])
             audio_g = audio_g[:, cfg.n_early_size :]
 
-        w = params["convinv"][k]["weight"]
-        # slogdet stays float32 even under a bf16 compute policy — the
-        # log-determinant enters the loss directly and an 8x8 determinant
-        # in bf16 is garbage.
-        _, logdet = jnp.linalg.slogdet(w.astype(jnp.float32))
-        log_det_list.append(B * G * logdet)
-        audio_g = jnp.einsum(
-            "oc,bct->bot", w, audio_g,
-            preferred_element_type=jnp.float32,
-        ).astype(audio_g.dtype)
+        def flow_body(flow_params, audio_g, spect_g,
+                      n_half=audio_ch // 2):
+            w = flow_params["convinv"]["weight"]
+            # slogdet stays float32 even under a bf16 compute policy —
+            # the log-determinant enters the loss directly and an 8x8
+            # determinant in bf16 is garbage.
+            _, logdet = jnp.linalg.slogdet(w.astype(jnp.float32))
+            audio_mixed = jnp.einsum(
+                "oc,bct->bot", w, audio_g,
+                preferred_element_type=jnp.float32,
+            ).astype(audio_g.dtype)
 
-        n_half = audio_ch // 2
-        audio_0 = audio_g[:, :n_half]
-        audio_1 = audio_g[:, n_half:]
-        wn_out = wn_apply(cfg, params["wn"][k], audio_0, spect_g)
-        log_s = wn_out[:, n_half:]
-        b = wn_out[:, :n_half]
-        audio_1 = jnp.exp(log_s) * audio_1 + b
+            audio_0 = audio_mixed[:, :n_half]
+            audio_1 = audio_mixed[:, n_half:]
+            wn_out = wn_apply(cfg, flow_params["wn"], audio_0, spect_g)
+            log_s = wn_out[:, n_half:]
+            b = wn_out[:, :n_half]
+            audio_1 = jnp.exp(log_s) * audio_1 + b
+            return (
+                jnp.concatenate([audio_0, audio_1], axis=1), log_s, logdet
+            )
+
+        if remat:
+            flow_body = jax.checkpoint(flow_body)
+        flow_params = {"convinv": params["convinv"][k], "wn": params["wn"][k]}
+        audio_g, log_s, logdet = flow_body(flow_params, audio_g, spect_g)
+        log_det_list.append(B * G * logdet)
         log_s_list.append(log_s)
-        audio_g = jnp.concatenate([audio_0, audio_1], axis=1)
 
     output_chunks.append(audio_g)
     z = jnp.concatenate(output_chunks, axis=1)

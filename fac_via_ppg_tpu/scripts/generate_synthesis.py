@@ -144,15 +144,29 @@ def main():
             max_frames=t2_cfg.max_decoder_steps,
             data_parallel=args.data_parallel,
         )
-        for start in range(0, len(batch_paths), args.batch_size):
-            chunk = batch_paths[start : start + args.batch_size]
-            key, sub = jax.random.split(key)
-            pcms = synth.synthesize_batch(chunk, key=sub)
-            for p, pcm in zip(chunk, pcms):
+        # one chunk stays in flight (launch/collect split): chunk N+1's
+        # featurization + device execution overlap chunk N's PCM readback
+        # and wav writing — same PRNG split order as a synchronous loop,
+        # so output is unchanged (eval/streaming.py measures this overlap
+        # at ~1.5x throughput on the tunnel)
+        def write_chunk(chunk, handle):
+            for p, pcm in zip(chunk, synth.collect_feature_pairs(handle)):
                 name = os.path.splitext(os.path.basename(p))[0]
                 out = os.path.join(output_dir, f"ac_{name}.wav")
                 wavfile.write(out, fs, pcm)
                 print("Wrote", out)
+
+        inflight = None
+        for start in range(0, len(batch_paths), args.batch_size):
+            chunk = batch_paths[start : start + args.batch_size]
+            key, sub = jax.random.split(key)
+            pairs = [synth.featurize(p) for p in chunk]
+            handle = synth.launch_feature_pairs(pairs, sub)
+            if inflight is not None:
+                write_chunk(*inflight)
+            inflight = (chunk, handle)
+        if inflight is not None:
+            write_chunk(*inflight)
         logging.info("Done!")
         return
 

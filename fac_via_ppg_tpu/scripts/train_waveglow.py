@@ -40,7 +40,7 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
           grad_accum_steps=1, lr_schedule="constant", lr_warmup_steps=0,
           lr_decay_steps=0, lr_decay_rate=1.0, lr_min_factor=0.0,
           tensor_parallel_devices=1, data_parallel_devices=None,
-          zero_sharded_opt_state=False):
+          zero_sharded_opt_state=False, remat=False):
     """Signature mirrors the reference train() (train_waveglow.py:66).
 
     `train_dtype` is a TPU extension: "bfloat16" runs the flows' forward/
@@ -98,7 +98,7 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
         cfg, optimizer, sigma=sigma,
         compute_dtype=(None if train_dtype == "float32"
                        else jnp.dtype(train_dtype)),
-        grad_accum=grad_accum_steps,
+        grad_accum=grad_accum_steps, remat=remat,
     )
 
     iteration = 0

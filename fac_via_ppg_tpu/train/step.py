@@ -184,7 +184,7 @@ def make_tacotron2_eval_step(cfg: Tacotron2Config, mel_weight: float = 1.0,
 
 def make_waveglow_train_step(cfg: WaveGlowConfig, optimizer, sigma: float,
                              donate: bool = True, compute_dtype=None,
-                             grad_accum: int = 1):
+                             grad_accum: int = 1, remat: bool = False):
     """Returns jitted (params, opt_state, batch) -> StepOut.
 
     batch = (mel (B, 80, F), audio (B, T)).
@@ -194,7 +194,10 @@ def make_waveglow_train_step(cfg: WaveGlowConfig, optimizer, sigma: float,
     float32 loss reductions — see make_tacotron2_train_step.  `grad_accum`
     splits the batch into sequential micro-batches with averaged
     gradients (exactly the full-batch update: WaveGlow's loss is
-    per-element-normalized over fixed-size segments).
+    per-element-normalized over fixed-size segments).  `remat`
+    rematerializes each flow in the backward pass (jax.checkpoint):
+    ~WN-depth less activation memory for ~1/3 extra backward FLOPs —
+    the lever for batches that otherwise exceed HBM.
     """
 
     def loss_fn(params, batch):
@@ -203,7 +206,7 @@ def make_waveglow_train_step(cfg: WaveGlowConfig, optimizer, sigma: float,
             params = _cast_floats(params, compute_dtype)
             mel = mel.astype(compute_dtype)
             audio = audio.astype(compute_dtype)
-        out = waveglow_forward(cfg, params, mel, audio)
+        out = waveglow_forward(cfg, params, mel, audio, remat=remat)
         return waveglow_loss(out, sigma=sigma)
 
     def step(params, opt_state, batch):

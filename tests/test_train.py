@@ -1121,3 +1121,38 @@ def test_train_ppg2mel_preemption_checkpoint(tmp_path, rng, monkeypatch):
     assert "checkpoint_1" in cks, cks
     for leaf in jax.tree.leaves(params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_waveglow_remat_matches_unremat(rng):
+    """jax.checkpoint per flow replays identical ops: loss and the
+    updated params must match the standard step (memory, not numerics,
+    is the difference)."""
+    cfg = WaveGlowConfig(
+        n_mel_channels=8, hop_length=16, n_flows=4, n_group=4,
+        n_early_every=2, n_early_size=2, wn_n_layers=2, wn_n_channels=16,
+        wn_kernel_size=3, upsample_kernel_size=32,
+    )
+    params = init_waveglow(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(1e-3)
+    opt_state = optimizer.init(params)
+    plain = make_waveglow_train_step(cfg, optimizer, sigma=0.7071,
+                                     donate=False)
+    remat = make_waveglow_train_step(cfg, optimizer, sigma=0.7071,
+                                     donate=False, remat=True)
+    mel = jnp.asarray(rng.randn(4, 8, 16), jnp.float32)
+    audio = jnp.asarray(rng.randn(4, 256) * 0.1, jnp.float32)
+    out_p = plain(params, opt_state, (mel, audio))
+    out_r = remat(params, opt_state, (mel, audio))
+    np.testing.assert_allclose(float(out_r.loss), float(out_p.loss),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(out_r.params),
+                    jax.tree.leaves(out_p.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # composes with bf16 mixed precision
+    remat_bf16 = make_waveglow_train_step(
+        cfg, optimizer, sigma=0.7071, donate=False, remat=True,
+        compute_dtype=jnp.bfloat16,
+    )
+    out_rb = remat_bf16(params, opt_state, (mel, audio))
+    assert np.isfinite(float(out_rb.loss))
