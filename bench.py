@@ -399,7 +399,7 @@ def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0,
 
 def bench_train_ppg2mel(warmup: int = 3, iters: int = 20,
                         train_dtype: str = "float32",
-                        batch: int = 6) -> dict:
+                        batch: int = 6, remat: bool = False) -> dict:
     """BASELINE config 3: PPG2Mel training step at the paper operating
     point (batch 6, ~4 s utterances = 400 mel frames, Adam + grad clip).
     `--train_dtype bfloat16` measures the mixed-precision step; `--batch`
@@ -420,6 +420,7 @@ def bench_train_ppg2mel(warmup: int = 3, iters: int = 20,
         cfg, optimizer, hp.mel_weight, hp.gate_weight, donate=False,
         compute_dtype=(None if train_dtype == "float32"
                        else jnp.dtype(train_dtype)),
+        remat=remat,
     )
 
     B, t_in, t_out = batch, 400, 400
@@ -448,7 +449,7 @@ def bench_train_ppg2mel(warmup: int = 3, iters: int = 20,
         # x real time: audio seconds consumed per wall second
         "vs_baseline": round(B * (t_out / 100.0) / s_per_it, 2),
         "detail": {"batch": B, "frames": t_out, "iters": iters,
-                   "train_dtype": train_dtype,
+                   "train_dtype": train_dtype, "remat": remat,
                    "device": str(jax.devices()[0])},
     }
 
@@ -539,7 +540,8 @@ if __name__ == "__main__":
             pipeline_depth=args.pipeline_depth),
         "train_ppg2mel":
             lambda: bench_train_ppg2mel(train_dtype=args.train_dtype,
-                                        batch=args.batch or 6),
+                                        batch=args.batch or 6,
+                                        remat=args.remat),
         "train_waveglow":
             lambda: bench_train_waveglow(train_dtype=args.train_dtype,
                                         batch=args.batch or 3,

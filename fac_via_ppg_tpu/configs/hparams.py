@@ -155,6 +155,11 @@ _TPU_EXTENSIONS: Dict[str, Any] = {
     # ZeRO-1: shard the Adam moments over the data axis
     # (parallel/sharding.optimizer_state_shardings).  Pure-DP runs only.
     "zero_sharded_opt_state": False,
+    # Rematerialize the decoder scan body in backward (jax.checkpoint):
+    # per-step attention/LSTM internals recompute from the carries
+    # instead of being stored for all T_out steps — enables batches past
+    # the HBM wall at ~recompute cost (train/step.py, docs/PERF.md).
+    "remat": False,
     # Pad batches to length buckets of this granularity to bound the number
     # of distinct compiled shapes (XLA traces once per shape).
     "length_bucket_size": 128,

@@ -325,11 +325,19 @@ def tacotron2_forward(
     output_lengths: jnp.ndarray,   # (B,)
     key,
     training: bool = True,
+    remat: bool = False,
 ):
     """Teacher-forced forward (model.py:580-595).
 
     Returns ((mel_out, mel_out_postnet, gate_out, alignments), new_state),
     padding-masked per parse_output (model.py:566-578).
+
+    `remat=True` wraps the decoder scan body in `jax.checkpoint`
+    (classic BPTT rematerialization): backward recomputes each step's
+    attention/LSTM internals from the carried state instead of storing
+    T_out of them — the decoder's activation pool drops to the carries,
+    unlocking training batches past the HBM wall (docs/PERF.md).
+    Numerically identical (the same ops replay).
     """
     B, _, T_out = mel_targets.shape
     key, k_enc = jax.random.split(key)
@@ -360,6 +368,12 @@ def tacotron2_forward(
             t, sub, training,
         )
         return (ds, key), (mel_f, gate_f, att_w)
+
+    if remat:
+        # prevent_cse=False is safe (and faster) under scan: the loop
+        # boundary already stops the cross-iteration CSE that the flag
+        # guards against
+        step = jax.checkpoint(step, prevent_cse=False)
 
     key, k_scan = jax.random.split(key)
     (_, _), (mels, gates, aligns) = jax.lax.scan(

@@ -156,6 +156,7 @@ def train(output_directory, log_directory, checkpoint_path, warm_start,
         compute_dtype=(None if train_dtype == "float32"
                        else jnp.dtype(train_dtype)),
         grad_accum=getattr(hparams, "grad_accum_steps", 1),
+        remat=bool(getattr(hparams, "remat", False)),
     )
     eval_step = make_tacotron2_eval_step(
         cfg, hparams.mel_weight, hparams.gate_weight

@@ -100,7 +100,8 @@ def make_tacotron2_train_step(cfg: Tacotron2Config, optimizer,
                               gate_weight: float = 0.005,
                               donate: bool = True,
                               compute_dtype=None,
-                              grad_accum: int = 1):
+                              grad_accum: int = 1,
+                              remat: bool = False):
     """Returns jitted (params, model_state, opt_state, batch, key) -> StepOut.
 
     batch = (ppg_padded, input_lengths, acoustic_padded, gate_padded,
@@ -127,6 +128,11 @@ def make_tacotron2_train_step(cfg: Tacotron2Config, optimizer,
     the reference's per-batch denominator), and each micro-batch draws
     its own dropout key — equal to the full-batch update in expectation,
     not bitwise (WaveGlow's RNG-free step IS bitwise-equal).
+
+    `remat` rematerializes the decoder scan body in backward
+    (jax.checkpoint): per-step attention/LSTM internals recompute from
+    the carries instead of being stored for all T_out steps — the
+    memory lever for batches past the HBM wall.
     """
 
     def loss_fn(params, model_state, batch, key):
@@ -139,7 +145,7 @@ def make_tacotron2_train_step(cfg: Tacotron2Config, optimizer,
             mel_in = mel
         out, new_state = tacotron2_forward(
             cfg, params, model_state, ppg, in_len, mel_in, out_len, key,
-            training=True,
+            training=True, remat=remat,
         )
         loss = tacotron2_loss(out, (mel, gate), mel_weight, gate_weight,
                               output_lengths=out_len)

@@ -1156,3 +1156,32 @@ def test_waveglow_remat_matches_unremat(rng):
     )
     out_rb = remat_bf16(params, opt_state, (mel, audio))
     assert np.isfinite(float(out_rb.loss))
+
+
+def test_tacotron2_remat_matches_unremat(rng):
+    """Decoder-scan remat (jax.checkpoint on the scan body) replays the
+    identical ops — same loss and updated params as the plain step (the
+    dropout keys are derived from the same splits)."""
+    import optax
+
+    params, model_state = init_tacotron2(jax.random.PRNGKey(0), CFG)
+    # SGD, not Adam: Adam's first update is ~sign(grad)*lr, so the float
+    # reassociation remat's re-scheduled backward introduces flips
+    # near-zero gradient elements into +-2lr param diffs (same rationale
+    # as tests/mp_worker.py).  SGD keeps the comparison at 1e-6.
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.sgd(1e-3))
+    opt_state = optimizer.init(params)
+    plain = make_tacotron2_train_step(CFG, optimizer, donate=False)
+    remat = make_tacotron2_train_step(CFG, optimizer, donate=False,
+                                      remat=True)
+    batch = _batch(rng)
+    key = jax.random.PRNGKey(5)
+    out_p = plain(params, model_state, opt_state, batch, key)
+    out_r = remat(params, model_state, opt_state, batch, key)
+    np.testing.assert_allclose(float(out_r.loss), float(out_p.loss),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(out_r.grad_norm),
+                               float(out_p.grad_norm), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(out_r.params),
+                    jax.tree.leaves(out_p.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
