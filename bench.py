@@ -63,6 +63,8 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
 
         packed_wn = pack_waveglow_pallas(cfg, params)
 
+    _infer_cache = {}
+
     def measure(dtype, b=batch, pipelined=False):
         """Serial protocol: force each call's scalar to the host before
         dispatching the next (latency-per-call measurement; pays the
@@ -76,14 +78,19 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
         throughput a serving loop actually sees (eval/streaming.py
         pipeline_depth=2)."""
         mel_b = mel[:b]
-        infer = jax.jit(
-            lambda p, pk, m, k: jnp.sum(
-                waveglow_infer(cfg, p, m, 0.6, k, dtype=dtype,
-                               wn_impl=wn_impl, packed_wn=pk).astype(
-                    jnp.float32
+        # memoized per dtype so the serial and pipelined protocols share
+        # ONE compiled program (a fresh lambda would retrace and pay the
+        # multi-minute tunnel compile twice for identical HLO)
+        if dtype not in _infer_cache:
+            _infer_cache[dtype] = jax.jit(
+                lambda p, pk, m, k: jnp.sum(
+                    waveglow_infer(cfg, p, m, 0.6, k, dtype=dtype,
+                                   wn_impl=wn_impl, packed_wn=pk).astype(
+                        jnp.float32
+                    )
                 )
             )
-        )
+        infer = _infer_cache[dtype]
         for i in range(warmup):
             float(infer(params, packed_wn, mel_b, jax.random.PRNGKey(i)))
         start = time.perf_counter()

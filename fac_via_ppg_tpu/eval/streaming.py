@@ -441,8 +441,10 @@ def main():
     t_start = time.perf_counter()
     for result in converter.run(wavs):
         if result.error is not None:
+            # not counted toward the warm window (an error result isn't a
+            # served utterance, and bumping n would let the compile-laden
+            # first micro-batch leak into the steady-state numbers)
             print(f"SKIPPED {result.wav_path}: {result.error}")
-            n += 1
             continue
         out = os.path.join(
             args.output_dir,

@@ -157,16 +157,23 @@ def main():
                 print("Wrote", out)
 
         inflight = None
-        for start in range(0, len(batch_paths), args.batch_size):
-            chunk = batch_paths[start : start + args.batch_size]
-            key, sub = jax.random.split(key)
-            pairs = [synth.featurize(p) for p in chunk]
-            handle = synth.launch_feature_pairs(pairs, sub)
+        try:
+            for start in range(0, len(batch_paths), args.batch_size):
+                chunk = batch_paths[start : start + args.batch_size]
+                key, sub = jax.random.split(key)
+                pairs = [synth.featurize(p) for p in chunk]
+                handle = synth.launch_feature_pairs(pairs, sub)
+                if inflight is not None:
+                    write_chunk(*inflight)
+                inflight = (chunk, handle)
             if inflight is not None:
                 write_chunk(*inflight)
-            inflight = (chunk, handle)
-        if inflight is not None:
-            write_chunk(*inflight)
+                inflight = None
+        finally:
+            # a bad wav in chunk N+1 must not lose chunk N's finished
+            # audio: land the in-flight chunk before propagating
+            if inflight is not None:
+                write_chunk(*inflight)
         logging.info("Done!")
         return
 

@@ -11,11 +11,11 @@ the current iteration, writing a final checkpoint, and exiting cleanly so
 
 `PreemptionGuard` installs a SIGTERM handler that records the request;
 the epoch loops poll `should_stop()` once per iteration.  In multi-host
-runs every process polls in lockstep and the decision is process 0's
-flag broadcast to all (one tiny collective), so all processes leave
-their collectives after the SAME iteration instead of hanging each other
-— schedulers signal every process of an evicted job, and rank 0 leads
-the exit.
+runs every process polls in lockstep and the decision is the OR of
+every process's flag (one tiny allgather), so a notice delivered to ANY
+rank — whole-job eviction signals all of them, a single-VM eviction
+signals just one — stops every process after the SAME iteration instead
+of hanging the others' collectives.
 """
 
 from __future__ import annotations
@@ -40,7 +40,10 @@ class PreemptionGuard:
             for s in signals:
                 self._installed[s] = signal.signal(s, self._on_signal)
         except ValueError:
-            self._installed = {}
+            # not the main thread (or an unsupported signal): restore
+            # whatever DID install so the guard leaves no handler behind,
+            # then stay inert
+            self.uninstall()
 
     def _on_signal(self, signum, frame):
         del frame
@@ -61,8 +64,10 @@ class PreemptionGuard:
 
     def should_stop(self) -> bool:
         """Per-iteration poll.  Single process: the local flag.
-        Multi-host: process 0's flag, broadcast so every process agrees
-        on the exit iteration (this is a collective — every process must
+        Multi-host: the OR of every process's flag (allgather), so an
+        eviction notice that reaches ANY rank — including a single-VM
+        eviction that signals only that machine — stops every process at
+        the same iteration (this is a collective: every process must
         call it the same number of times, which the per-iteration poll
         guarantees)."""
         import jax
@@ -72,11 +77,8 @@ class PreemptionGuard:
         import numpy as np
         from jax.experimental import multihost_utils
 
-        flag = np.asarray(
-            1 if (self.requested and jax.process_index() == 0) else 0,
-            np.int32,
-        )
-        return bool(multihost_utils.broadcast_one_to_all(flag))
+        flag = np.asarray(1 if self.requested else 0, np.int32)
+        return bool(np.max(multihost_utils.process_allgather(flag)))
 
     def uninstall(self):
         """Restore the previous signal handlers (so embedding callers —

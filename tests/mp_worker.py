@@ -299,21 +299,18 @@ def main():
     # phase 3: fused DP serving call across both processes
     audio, mel_lens, seen = run_serving(jax, make_mesh())
 
-    # phase 4: preemption-guard broadcast semantics — the coordinated
-    # exit decision is rank 0's flag (train/preemption.should_stop): a
-    # request on a non-zero rank alone must NOT stop the job, rank 0's
-    # request must stop every process, and the poll itself must be
-    # callable in lockstep (it is a collective).
+    # phase 4: preemption-guard allgather semantics
+    # (train/preemption.should_stop): the exit decision is the OR of
+    # every rank's flag — a notice on ANY single rank (here: rank 1
+    # only, the single-VM-eviction case) must stop every process, and
+    # the poll must be callable in lockstep (it is a collective).
     from fac_via_ppg_tpu.train.preemption import PreemptionGuard
 
     guard = PreemptionGuard(signals=())  # no handler: just the protocol
-    votes = [guard.should_stop()]  # nobody requested
-    if jax.process_index() != 0:
+    votes = [guard.should_stop()]  # nobody requested -> False everywhere
+    if jax.process_index() == 1:
         guard.request()
-    votes.append(guard.should_stop())  # non-zero rank only: still run
-    if jax.process_index() == 0:
-        guard.request()
-    votes.append(guard.should_stop())  # rank 0 leads: everyone stops
+    votes.append(guard.should_stop())  # rank 1 only -> True everywhere
 
     np.savez(
         out_path,

@@ -156,9 +156,9 @@ def test_two_process_dp_matches_single_process(tmp_path):
             data["serve_audio"][seen], audio_ref[seen], atol=1e-5,
             err_msg="served audio diverged across processes",
         )
-        # --- phase 4: preemption broadcast — rank 0 leads the exit:
-        # [nobody requested, non-zero rank requested, rank 0 requested]
+        # --- phase 4: preemption allgather — ANY rank's notice stops
+        # every process: [nobody requested, rank 1 only requested]
         np.testing.assert_array_equal(
-            data["preempt_votes"], [False, False, True],
+            data["preempt_votes"], [False, True],
             err_msg=f"worker {i} preemption votes wrong",
         )
