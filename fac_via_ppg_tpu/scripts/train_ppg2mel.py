@@ -209,9 +209,22 @@ def train(output_directory, log_directory, checkpoint_path, warm_start,
     from fac_via_ppg_tpu.data.prefetch import prefetch
     from fac_via_ppg_tpu.train.profiling import trace
 
-    place = lambda batch: shard_batch(  # noqa: E731
-        mesh, tuple(np.asarray(x) for x in batch)
-    )
+    if train_dtype == "bfloat16":
+        # The bf16 step's first op casts the PPG input to bf16 inside the
+        # jit (train/step.py loss_fn) — rounding it on the HOST instead is
+        # bit-identical (same f32->bf16 round-to-nearest-even) and halves
+        # the dominant host->device bytes: the (B, 5816, T) PPG is ~98% of
+        # the batch.  Mel stays f32 (it is also the f32 loss target).
+        _ppg_wire = jnp.bfloat16
+
+        def place(batch):
+            ppg, in_len, mel, gate, out_len = (np.asarray(x) for x in batch)
+            ppg = ppg.astype(_ppg_wire)
+            return shard_batch(mesh, (ppg, in_len, mel, gate, out_len))
+    else:
+        place = lambda batch: shard_batch(  # noqa: E731
+            mesh, tuple(np.asarray(x) for x in batch)
+        )
     with trace(getattr(hparams, "profile_dir", "")):
         return _train_loop(
             hparams, cfg, mesh, params, model_state, opt_state, optimizer,

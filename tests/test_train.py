@@ -1185,3 +1185,23 @@ def test_tacotron2_remat_matches_unremat(rng):
     for a, b in zip(jax.tree.leaves(out_r.params),
                     jax.tree.leaves(out_p.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_bf16_ppg_host_cast_matches_device_cast(rng):
+    """The trainer transfers the PPG pre-cast to bf16 when
+    train_dtype=bfloat16 (halves host->device bytes); the step's in-jit
+    cast must make that bit-identical in values to shipping f32."""
+    params, model_state = init_tacotron2(jax.random.PRNGKey(0), CFG)
+    optimizer = make_optimizer(1e-3, 1e-6, 1.0)
+    opt_state = optimizer.init(params)
+    step = make_tacotron2_train_step(CFG, optimizer, donate=False,
+                                     compute_dtype=jnp.bfloat16)
+    batch = _batch(rng)
+    pre = (np.asarray(batch[0]).astype(jnp.bfloat16),) + tuple(batch[1:])
+    key = jax.random.PRNGKey(9)
+    out_f32 = step(params, model_state, opt_state, batch, key)
+    out_pre = step(params, model_state, opt_state, pre, key)
+    np.testing.assert_allclose(float(out_pre.loss), float(out_f32.loss),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(out_pre.grad_norm),
+                               float(out_f32.grad_norm), rtol=1e-4)
