@@ -83,29 +83,55 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
         print(f"vocoder mesh: {mesh.shape['data']} data x "
               f"{mesh.shape['model']} model")
 
-    for length, group in by_len.items():
-        for i in range(0, len(group), batch_size):
-            chunk = group[i : i + batch_size]
-            mel_batch = np.stack([m for _, m in chunk]).astype(np.float32)
-            if mesh is not None:
-                n = mesh.shape["data"]
-                pad = (-len(chunk)) % n
-                if pad:
-                    mel_batch = np.concatenate(
-                        [mel_batch, np.repeat(mel_batch[-1:], pad, 0)]
+    def write_batch(chunk, audio_dev):
+        # the only host sync: np.asarray blocks on the device buffers
+        audio = np.asarray(audio_dev).astype(np.int16)
+        for (f, _), wav in zip(chunk, audio):
+            out = os.path.join(
+                output_dir, os.path.basename(f) + "_synthesis.wav"
+            )
+            wavfile.write(out, sampling_rate, wav)
+            print(out)
+
+    # One batch stays in flight (JAX async dispatch): batch N+1's device
+    # execution overlaps batch N's audio readback + wav writes — the
+    # same overlap eval/streaming.py measures at ~1.5x on this link.
+    inflight = None
+    try:
+        for length, group in by_len.items():
+            for i in range(0, len(group), batch_size):
+                chunk = group[i : i + batch_size]
+                mel_batch = np.stack(
+                    [m for _, m in chunk]
+                ).astype(np.float32)
+                if mesh is not None:
+                    n = mesh.shape["data"]
+                    pad = (-len(chunk)) % n
+                    if pad:
+                        mel_batch = np.concatenate(
+                            [mel_batch, np.repeat(mel_batch[-1:], pad, 0)]
+                        )
+                    mel_batch = jax.device_put(
+                        mel_batch, batch_sharding(mesh)
                     )
-                mel_batch = jax.device_put(mel_batch, batch_sharding(mesh))
-            key, sub = jax.random.split(key)
-            audio = infer(params, packed_wn, mel_batch, sub)[: len(chunk)]
-            if denoiser is not None:
-                audio = denoiser(audio, strength=denoiser_strength)[:, 0, :]
-            audio = np.asarray(audio * MAX_WAV_VALUE).astype(np.int16)
-            for (f, _), wav in zip(chunk, audio):
-                out = os.path.join(
-                    output_dir, os.path.basename(f) + "_synthesis.wav"
-                )
-                wavfile.write(out, sampling_rate, wav)
-                print(out)
+                key, sub = jax.random.split(key)
+                audio = infer(params, packed_wn, mel_batch, sub)[: len(chunk)]
+                if denoiser is not None:
+                    audio = denoiser(
+                        audio, strength=denoiser_strength
+                    )[:, 0, :]
+                audio = audio * MAX_WAV_VALUE  # still on device, async
+                if inflight is not None:
+                    write_batch(*inflight)
+                inflight = (chunk, audio)
+        if inflight is not None:
+            write_batch(*inflight)
+            inflight = None
+    finally:
+        # a bad mel file later in the list must not lose the finished
+        # in-flight batch
+        if inflight is not None:
+            write_batch(*inflight)
 
 
 if __name__ == "__main__":
