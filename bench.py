@@ -35,7 +35,8 @@ import numpy as np
 
 def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
                        warmup: int = 3, iters: int = 10,
-                       wn_impl: str = "xla") -> dict:
+                       wn_impl: str = "xla",
+                       cond_impl: str = "int8") -> dict:
     from fac_via_ppg_tpu.configs.hparams import WaveGlowConfig
     from fac_via_ppg_tpu.models.waveglow import (
         init_waveglow,
@@ -62,10 +63,15 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
         from fac_via_ppg_tpu.models.waveglow import pack_waveglow_pallas
 
         packed_wn = pack_waveglow_pallas(cfg, params)
+    packed_cond = None
+    if cond_impl != "dense":
+        from fac_via_ppg_tpu.models.waveglow import pack_waveglow_int8cond
+
+        packed_cond = pack_waveglow_int8cond(cfg, params)
 
     _infer_cache = {}
 
-    def measure(dtype, b=batch, pipelined=False):
+    def measure(dtype, b=batch, pipelined=False, ci=None):
         """Serial protocol: force each call's scalar to the host before
         dispatching the next (latency-per-call measurement; pays the
         ~25 ms tunnel readback RTT serially every iteration).
@@ -78,19 +84,29 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
         throughput a serving loop actually sees (eval/streaming.py
         pipeline_depth=2)."""
         mel_b = mel[:b]
-        # memoized per dtype so the serial and pipelined protocols share
-        # ONE compiled program (a fresh lambda would retrace and pay the
-        # multi-minute tunnel compile twice for identical HLO)
-        if dtype not in _infer_cache:
-            _infer_cache[dtype] = jax.jit(
-                lambda p, pk, m, k: jnp.sum(
+        ci = cond_impl if ci is None else ci
+        pc = packed_cond
+        if ci != "dense" and pc is None:
+            from fac_via_ppg_tpu.models.waveglow import pack_waveglow_int8cond
+
+            pc = pack_waveglow_int8cond(cfg, params)
+        # memoized per (dtype, cond_impl) so the serial and pipelined
+        # protocols share ONE compiled program (a fresh lambda would
+        # retrace and pay the multi-minute tunnel compile twice for
+        # identical HLO)
+        if (dtype, ci) not in _infer_cache:
+            _infer_cache[(dtype, ci)] = jax.jit(
+                lambda p, pk, m, k, _ci=ci, _pc=pc: jnp.sum(
                     waveglow_infer(cfg, p, m, 0.6, k, dtype=dtype,
-                                   wn_impl=wn_impl, packed_wn=pk).astype(
+                                   wn_impl=wn_impl,
+                                   cond_impl=_ci,
+                                   packed_cond=_pc,
+                                   packed_wn=pk).astype(
                         jnp.float32
                     )
                 )
             )
-        infer = _infer_cache[dtype]
+        infer = _infer_cache[(dtype, ci)]
         for i in range(warmup):
             float(infer(params, packed_wn, mel_b, jax.random.PRNGKey(i)))
         start = time.perf_counter()
@@ -110,8 +126,11 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
         return audio_seconds / elapsed, elapsed
 
     # Serving precision is bf16 (fp32 accumulation, fp32 1x1 inverses) —
-    # the TPU analogue of the reference's fp16 inference mode; 55 dB SNR
-    # vs the fp32 path with matched noise.
+    # the TPU analogue of the reference's fp16 inference mode — with the
+    # 12 stacked cond matmuls on the int8 MXU by default (cond_impl):
+    # on the trained r3 checkpoint the quality ladder vs f32-dense is
+    # bf16-dense 40.4 dB / bf16-int8 39.4 dB SNR (docs/PERF.md), i.e.
+    # int8-cond costs ~1 dB relative to the bf16 serving mode.
     rtf_bf16, elapsed = measure(jnp.bfloat16)
     detail = {
         "batch": batch,
@@ -120,7 +139,13 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
         "elapsed_s": round(elapsed, 3),
         "device": str(jax.devices()[0]),
         "wn_impl": wn_impl,
+        "cond_impl": cond_impl,
     }
+    if cond_impl == "int8":
+        detail["int8_snr_note"] = (
+            "SNR vs f32-dense on the trained checkpoint: bf16-dense "
+            "40.4 dB, bf16-int8 39.4 dB, f32-int8 41.3 dB"
+        )
     try:
         # throughput with one call in flight (readback RTT overlapped;
         # every result still forced) — what a pipelined serving loop sees
@@ -128,6 +153,14 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
         detail["rtf_pipelined"] = round(rtf_piped, 2)
     except Exception as exc:  # pragma: no cover
         detail["rtf_pipelined_error"] = str(exc)[:200]
+    if cond_impl != "dense":
+        try:
+            # the dense bf16 figure (rounds 1-2's headline protocol) so
+            # the int8 gain is visible inside one artifact
+            rtf_dense, _ = measure(jnp.bfloat16, ci="dense")
+            detail["rtf_bf16_dense"] = round(rtf_dense, 2)
+        except Exception as exc:  # pragma: no cover
+            detail["rtf_bf16_dense_error"] = str(exc)[:200]
     try:
         # secondary f32 figure; skipped if anything goes wrong so the
         # headline line always prints (the f32 path costs its own ~3 min
@@ -135,7 +168,7 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
         # program deterministically fails the tunnel's remote-compile
         # helper (HTTP 500), and f32 throughput saturates by 16 anyway.
         f32_batch = min(batch, 16)
-        rtf_f32, _ = measure(None, b=f32_batch)
+        rtf_f32, _ = measure(None, b=f32_batch, ci="dense")
         detail["rtf_float32"] = round(rtf_f32, 2)
         detail["f32_batch"] = f32_batch
         if f32_batch != batch:
@@ -247,7 +280,7 @@ def bench_e2e_latency(utt_seconds: float = 4.0, warmup: int = 2,
 
 
 def bench_e2e_fused(utt_seconds: float = 4.0, warmup: int = 2,
-                    iters: int = 5) -> dict:
+                    iters: int = 5, cond_impl: str = "dense") -> dict:
     """Config 1, single-XLA-program serving (eval/fused.py): one transfer
     in, one readback out per utterance."""
     import dataclasses
@@ -261,6 +294,7 @@ def bench_e2e_fused(utt_seconds: float = 4.0, warmup: int = 2,
     synth = FusedSynthesizer(
         t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps=deps,
         serving_dtype=jnp.bfloat16, max_frames=n_frames,
+        cond_impl=cond_impl,
     )
     with tempfile.TemporaryDirectory() as td:
         paths = _synth_wavs(td, warmup + iters, utt_seconds)
@@ -283,13 +317,15 @@ def bench_e2e_fused(utt_seconds: float = 4.0, warmup: int = 2,
             "utt_seconds": utt_seconds,
             "iters": iters,
             "per_utt_s": [round(x, 3) for x in lat],
+            "cond_impl": cond_impl,
             "device": str(jax.devices()[0]),
         },
     }
 
 
 def bench_e2e_fused_batch(batch: int = 24, utt_seconds: float = 4.0,
-                          warmup: int = 2, iters: int = 5) -> dict:
+                          warmup: int = 2, iters: int = 5,
+                          cond_impl: str = "dense") -> dict:
     """Throughput serving: B utterances per fused device call (the batched
     decoder amortizes the latency-bound autoregressive loop).  B=24 is the
     measured single-chip optimum: 121/105/133/138/129/131/29 x RT at
@@ -305,6 +341,7 @@ def bench_e2e_fused_batch(batch: int = 24, utt_seconds: float = 4.0,
     synth = FusedSynthesizer(
         t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps=deps,
         serving_dtype=jnp.bfloat16, max_frames=n_frames,
+        cond_impl=cond_impl,
     )
     with tempfile.TemporaryDirectory() as td:
         paths = _synth_wavs(td, batch, utt_seconds)
@@ -330,6 +367,7 @@ def bench_e2e_fused_batch(batch: int = 24, utt_seconds: float = 4.0,
             "utt_seconds": utt_seconds,
             "iters": iters,
             "s_per_batch": round(elapsed / iters, 3),
+            "cond_impl": cond_impl,
             "device": str(jax.devices()[0]),
         },
     }
@@ -338,7 +376,8 @@ def bench_e2e_fused_batch(batch: int = 24, utt_seconds: float = 4.0,
 def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0,
                     fused: bool = False, batch: int = 1,
                     frontend_threads: int = 1,
-                    pipeline_depth: int = 2) -> dict:
+                    pipeline_depth: int = 2,
+                    cond_impl: str = "dense") -> dict:
     """BASELINE config 5: streaming accent conversion throughput
     (front-end overlapped with device synthesis), steady state.
     `batch` > 1 micro-batches the fused device calls (throughput mode)."""
@@ -360,6 +399,7 @@ def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0,
         t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps=deps,
         serving_dtype=jnp.bfloat16, fused=fused, batch_size=batch,
         frontend_threads=frontend_threads, pipeline_depth=pipeline_depth,
+        cond_impl=(cond_impl if fused else "dense"),
     )
     # Compile outside the measured stream: otherwise the first fused
     # call's XLA compile leaks into the latency clock of every utterance
@@ -399,6 +439,7 @@ def bench_streaming(n_utts: int = 8, utt_seconds: float = 4.0,
             # micro-batching pays for throughput
             "latency_p50_s": round(float(np.percentile(latencies, 50)), 3),
             "latency_p95_s": round(float(np.percentile(latencies, 95)), 3),
+            "cond_impl": cond_impl if fused else "dense",
             "device": str(jax.devices()[0]),
         },
     }
@@ -517,6 +558,12 @@ if __name__ == "__main__":
                                  "train_waveglow"])
     parser.add_argument("--wn_impl", default="xla",
                         choices=["xla", "pallas"])
+    parser.add_argument("--cond_impl", default="int8",
+                        choices=["dense", "int8"],
+                        help="int8 (default): stacked cond matmuls on the "
+                             "int8 MXU — ~10%% faster; 39.4 dB SNR vs "
+                             "f32-dense on the trained ckpt (bf16-dense: "
+                             "40.4 dB).  dense: rounds-1/2 protocol")
     parser.add_argument("--train_dtype", default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--batch", type=int, default=None,
@@ -534,17 +581,20 @@ if __name__ == "__main__":
                              "(2 overlaps device exec with PCM readback)")
     args = parser.parse_args()
     runners = {
-        "rtf": lambda: bench_waveglow_rtf(wn_impl=args.wn_impl),
+        "rtf": lambda: bench_waveglow_rtf(wn_impl=args.wn_impl,
+                                          cond_impl=args.cond_impl),
         "e2e": bench_e2e_latency,
-        "e2e_fused": bench_e2e_fused,
+        "e2e_fused": lambda: bench_e2e_fused(cond_impl=args.cond_impl),
         "e2e_fused_batch":
-            lambda: bench_e2e_fused_batch(batch=args.batch or 24),
+            lambda: bench_e2e_fused_batch(batch=args.batch or 24,
+                                          cond_impl=args.cond_impl),
         "streaming": lambda: bench_streaming(
             frontend_threads=args.frontend_threads),
         "streaming_fused": lambda: bench_streaming(
             fused=True, batch=args.batch or 1,
             frontend_threads=args.frontend_threads,
-            pipeline_depth=args.pipeline_depth),
+            pipeline_depth=args.pipeline_depth,
+            cond_impl=args.cond_impl),
         "train_ppg2mel":
             lambda: bench_train_ppg2mel(train_dtype=args.train_dtype,
                                         batch=args.batch or 6,

@@ -58,6 +58,7 @@ class FusedSynthesizer:
         feat_bucket: int = 64,
         data_parallel: bool = False,
         model_parallel: int = 1,
+        cond_impl: str = "dense",
     ):
         """`data_parallel=True` spreads `synthesize_batch` over every chip:
         params replicate onto a 1-D 'data' mesh, the utterance batch is
@@ -71,7 +72,13 @@ class FusedSynthesizer:
         `model_parallel` > 1 additionally shards the WaveGlow WN hidden
         channel over a 'model' mesh axis (parallel/sharding.py): the mesh
         becomes (devices/model_parallel data, model_parallel model) and
-        each vocoder matmul runs as a local shard + ICI collective."""
+        each vocoder matmul runs as a local shard + ICI collective.
+
+        `cond_impl='int8'` runs the vocoder's stacked cond matmuls on the
+        int8 MXU (models/waveglow.py pack_waveglow_int8cond): ~10% more
+        vocoder throughput at 39.4 dB SNR vs f32-dense on the trained
+        checkpoint (docs/PERF.md "int8 cond matmuls").  Not composable
+        with model_parallel>1 (the packed weights are not sharded)."""
         self.deps = deps or ppg_mod.DependenciesPPG()
         self.t2_cfg = dataclasses.replace(
             t2_cfg, max_decoder_steps=max_frames
@@ -97,6 +104,21 @@ class FusedSynthesizer:
                     p["weight_inverse"] = w
         self.wg_params = waveglow_params
 
+        if cond_impl not in ("dense", "int8"):
+            raise ValueError(f"unknown cond_impl {cond_impl!r}")
+        if cond_impl == "int8" and model_parallel > 1:
+            raise ValueError(
+                "cond_impl='int8' is not composable with model_parallel>1"
+            )
+        self.cond_impl = cond_impl
+        self._packed_cond = None
+        if cond_impl == "int8":
+            from fac_via_ppg_tpu.models.waveglow import pack_waveglow_int8cond
+
+            self._packed_cond = pack_waveglow_int8cond(
+                wg_cfg, self.wg_params
+            )
+
         self.mesh = None
         if data_parallel or model_parallel > 1:
             self.mesh = make_mesh(model=int(model_parallel))
@@ -115,12 +137,14 @@ class FusedSynthesizer:
             else:
                 self.wg_params = replicate(self.mesh, self.wg_params)
             self._bias = replicate(self.mesh, self._bias)
+            if self._packed_cond is not None:
+                self._packed_cond = replicate(self.mesh, self._packed_cond)
 
         self._fn = jax.jit(self._device_program)
         self._fn_batch = jax.jit(self._device_program_batch)
 
-    def _device_program(self, t2_params, t2_state, wg_params, bias,
-                        feats, n_frames, key):
+    def _device_program(self, t2_params, t2_state, wg_params, packed_cond,
+                        bias, feats, n_frames, key):
         """(T_pad, lda_dim) features -> (int16 PCM (S,), t_end)."""
         k_mel, k_wg = jax.random.split(key)
         ppg = self.deps.nnet.forward(feats)            # (T_pad, n_senones)
@@ -136,6 +160,7 @@ class FusedSynthesizer:
             self.wg_cfg, wg_params,
             mel_in.astype(self.serving_dtype or jnp.float32),
             self.sigma, k_wg,
+            cond_impl=self.cond_impl, packed_cond=packed_cond,
         ).astype(jnp.float32)                          # (1, M*hop)
         spec, angles = self._stft.transform(audio)
         spec = jnp.clip(spec - bias * self.strength, min=0.0)
@@ -143,8 +168,8 @@ class FusedSynthesizer:
         pcm = jnp.clip(denoised[0], -1.0, 1.0) * 32767.0
         return pcm.astype(jnp.int16), t_end
 
-    def _device_program_batch(self, t2_params, t2_state, wg_params, bias,
-                              feats, n_frames, key):
+    def _device_program_batch(self, t2_params, t2_state, wg_params,
+                              packed_cond, bias, feats, n_frames, key):
         """(B, T_pad, lda_dim) -> (int16 PCM (B, M*hop), mel_lengths (B,)).
 
         The batched decoder (per-sequence gate stopping) amortizes the
@@ -168,6 +193,7 @@ class FusedSynthesizer:
             self.wg_cfg, wg_params,
             mel_in.astype(self.serving_dtype or jnp.float32),
             self.sigma, k_wg,
+            cond_impl=self.cond_impl, packed_cond=packed_cond,
         ).astype(jnp.float32)                             # (B, M*hop)
         spec, angles = self._stft.transform(audio)
         spec = jnp.clip(spec - bias * self.strength, min=0.0)
@@ -236,8 +262,8 @@ class FusedSynthesizer:
         else:
             feats, n_frames = jnp.asarray(feats), jnp.asarray(n_frames)
         pcm, mel_lens = self._fn_batch(
-            self.t2_params, self.t2_state, self.wg_params, self._bias,
-            feats, n_frames, key,
+            self.t2_params, self.t2_state, self.wg_params,
+            self._packed_cond, self._bias, feats, n_frames, key,
         )
         return pcm, mel_lens, n_real
 
@@ -273,7 +299,8 @@ class FusedSynthesizer:
         """Device side: padded features -> trimmed int16 PCM (one program)."""
         key = key if key is not None else jax.random.PRNGKey(0)
         pcm, t_end = self._fn(
-            self.t2_params, self.t2_state, self.wg_params, self._bias,
+            self.t2_params, self.t2_state, self.wg_params,
+            self._packed_cond, self._bias,
             jnp.asarray(feats), jnp.int32(n_frames), key,
         )
         t_end = int(t_end)

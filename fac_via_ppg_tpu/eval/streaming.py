@@ -142,7 +142,7 @@ class StreamingAccentConverter:
                  fused: bool = False, batch_size: int = 1,
                  frontend_threads: int = 1, data_parallel: bool = False,
                  model_parallel: int = 1, pipeline_depth: int = 2,
-                 on_error: str = "raise"):
+                 on_error: str = "raise", cond_impl: str = "dense"):
         self.t2_cfg = t2_cfg
         self.tacotron_params = tacotron_params
         self.tacotron_state = tacotron_state
@@ -190,12 +190,15 @@ class StreamingAccentConverter:
                 max_frames=t2_cfg.max_decoder_steps,
                 data_parallel=data_parallel,
                 model_parallel=model_parallel,
+                cond_impl=cond_impl,
             )
         elif batch_size > 1 or data_parallel or model_parallel > 1:
             raise ValueError(
                 "batch_size > 1 / data_parallel / model_parallel "
                 "require fused=True"
             )
+        elif cond_impl != "dense":
+            raise ValueError("cond_impl needs fused=True")
 
     def prewarm(self, utt_seconds: float = 4.0, key=None):
         """Compile + warm the fused device program(s) before serving.
@@ -405,6 +408,11 @@ def main():
                         choices=["raise", "skip"],
                         help="per-utterance front-end failures: abort "
                              "the stream, or log + keep serving")
+    parser.add_argument("--cond_impl", default="dense",
+                        choices=["dense", "int8"],
+                        help="int8: vocoder cond matmuls on the int8 MXU "
+                             "(~10%% faster vocoder at 39.4 dB SNR vs "
+                             "f32-dense; needs --fused)")
     args = parser.parse_args()
 
     hparams = create_hparams_stage()
@@ -430,6 +438,7 @@ def main():
         model_parallel=args.model_parallel,
         pipeline_depth=args.pipeline_depth,
         on_error=args.on_error,
+        cond_impl=args.cond_impl,
     )
     total_audio = total_wall = 0.0
     steady_audio = steady_wall = 0.0

@@ -198,25 +198,86 @@ def upsample_phase_matmul(p: dict, spect: jnp.ndarray, hop: int) -> jnp.ndarray:
 # WN coupling network
 # ==========================================================================
 
+def quantize_per_tensor_int8(x: jnp.ndarray):
+    """Dynamic symmetric per-tensor int8: (q, scale) with x ~= q * scale."""
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8
+    ) / 127.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
+def pack_waveglow_int8cond(cfg: WaveGlowConfig, params: dict) -> list:
+    """Per-flow int8 packing of the stacked cond matmul (per-OUT-CHANNEL
+    symmetric weight scales).  Precompute ONCE outside jit; feed to
+    waveglow_infer(cond_impl='int8', packed_cond=...).
+
+    Rationale (docs/PERF.md per-kernel breakdown): the 12 stacked cond
+    matmuls are the only FLOP-bound kernels of the inference program
+    (96.7% of bf16 MXU peak, 38% of all FLOPs); the v5e MXU runs int8 at
+    2x the bf16 rate, so quantizing exactly this matmul buys throughput
+    where no scheduling win remains.  Opt-in: it is a lossy change —
+    measure SNR before serving with it.
+    """
+    fold = lambda p: _weight_norm_fold(p) if "v" in p else p  # noqa: E731
+    packed = []
+    for wn in params["wn"]:
+        cond = [fold(p) for p in wn["cond_layers"]]
+        w = jnp.concatenate(
+            [p["weight"] for p in cond], axis=0
+        )[:, :, 0].astype(jnp.float32)                     # (L*2C, 640)
+        b = jnp.concatenate([p["bias"] for p in cond], axis=0)
+        w_scale = jnp.maximum(
+            jnp.max(jnp.abs(w), axis=1), 1e-8
+        ) / 127.0                                           # (L*2C,)
+        wq = jnp.clip(
+            jnp.round(w / w_scale[:, None]), -127, 127
+        ).astype(jnp.int8)
+        packed.append({"wq": wq, "w_scale": w_scale,
+                       "bias": b.astype(jnp.float32)})
+    return packed
+
+
 def wn_apply(cfg: WaveGlowConfig, wn: dict, audio_half: jnp.ndarray,
-             spect_grouped: jnp.ndarray) -> jnp.ndarray:
+             spect_grouped: jnp.ndarray, cond_int8=None) -> jnp.ndarray:
     """(B, n_half, T) x (B, 640, T) -> (B, 2*n_half, T) coupling output.
 
     All cond-layer projections are computed in one stacked matmul up front —
     spect is constant across the layer loop.
+
+    `cond_int8 = (spect_q int8, spect_scale, flow_pack)` replaces that
+    dense matmul with the int8 MXU version (pack_waveglow_int8cond); the
+    int32 accumulator dequantizes through scale_x * scale_w[out] straight
+    into the compute dtype.
     """
     C = cfg.wn_n_channels
     audio = _wn_conv_apply(wn["start"], audio_half)
 
-    # Stack cond layers: (L*2C, 640, 1) applied once -> split per layer.
-    cond_w = jnp.concatenate(
-        [_weight_norm_fold(p)["weight"] if "v" in p else p["weight"]
-         for p in wn["cond_layers"]], axis=0,
-    )
-    cond_b = jnp.concatenate(
-        [p["bias"] for p in wn["cond_layers"]], axis=0
-    )
-    cond_all = conv1d_apply({"weight": cond_w, "bias": cond_b}, spect_grouped)
+    if cond_int8 is not None:
+        sq, s_scale, pk = cond_int8
+        acc = jnp.einsum(
+            "oc,bcg->bog", pk["wq"], sq,
+            preferred_element_type=jnp.int32,
+        )
+        cond_all = (
+            acc.astype(jnp.float32)
+            * (s_scale * pk["w_scale"])[None, :, None]
+            + pk["bias"][None, :, None]
+        ).astype(audio.dtype)
+    else:
+        # Stack cond layers: (L*2C, 640, 1) applied once -> split per layer.
+        cond_w = jnp.concatenate(
+            [_weight_norm_fold(p)["weight"] if "v" in p else p["weight"]
+             for p in wn["cond_layers"]], axis=0,
+        )
+        cond_b = jnp.concatenate(
+            [p["bias"] for p in wn["cond_layers"]], axis=0
+        )
+        cond_all = conv1d_apply(
+            {"weight": cond_w, "bias": cond_b}, spect_grouped
+        )
     cond_per_layer = jnp.split(cond_all, cfg.wn_n_layers, axis=1)
 
     output = None
@@ -470,7 +531,9 @@ def cast_params(params, dtype):
 
 def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
                    sigma: float, key, dtype=None, noise=None,
-                   wn_impl: str = "xla", packed_wn=None) -> jnp.ndarray:
+                   wn_impl: str = "xla", packed_wn=None,
+                   cond_impl: str = "dense",
+                   packed_cond=None) -> jnp.ndarray:
     """(B, 80, F) mel -> (B, T) audio (reference glow.py:252-293).
 
     `params` should be the remove_weightnorm form; the train form also works
@@ -492,6 +555,13 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
     conv formulation), 'pallas' (fused VMEM layer kernel, ops/wn_pallas.py
     — budget the one-off Mosaic compile per dilation variant), or
     'pallas_interpret' (kernel semantics on the CPU interpreter, tests).
+
+    `cond_impl='int8'` (xla path only) runs the stacked cond matmuls on
+    the int8 MXU: the grouped spect quantizes ONCE per call (dynamic
+    per-tensor), weights per-out-channel (pass `packed_cond` from
+    pack_waveglow_int8cond to keep the weight quantization out of the
+    per-call path).  Lossy — opt in only with a measured SNR budget
+    (docs/PERF.md).
     """
     if dtype is not None:
         # 1x1 inverses stay fp32 like the reference's is_fp16 path.
@@ -527,11 +597,21 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
 
     if wn_impl not in ("xla", "pallas", "pallas_interpret"):
         raise ValueError(f"unknown wn_impl {wn_impl!r}")
+    if cond_impl not in ("dense", "int8"):
+        raise ValueError(f"unknown cond_impl {cond_impl!r}")
     packed = None
     if wn_impl != "xla":
+        if cond_impl != "dense":
+            raise ValueError("cond_impl='int8' requires wn_impl='xla'")
         # prefer a caller-precomputed pack (pack_waveglow_pallas) so the
         # fold/transpose work stays out of the per-call path
         packed = packed_wn or pack_waveglow_pallas(cfg, params)
+    cond_q = None
+    if cond_impl == "int8":
+        pack_c = packed_cond or pack_waveglow_int8cond(cfg, params)
+        # the spect is constant across flows: quantize it once per call
+        sq, s_scale = quantize_per_tensor_int8(spect_g)
+        cond_q = (sq, s_scale, pack_c)
 
     for k in reversed(range(cfg.n_flows)):
         audio_ch = audio.shape[1]
@@ -544,7 +624,11 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
                 interpret=(wn_impl == "pallas_interpret"),
             )
         else:
-            wn_out = wn_apply(cfg, params["wn"][k], audio_0, spect_g)
+            wn_out = wn_apply(
+                cfg, params["wn"][k], audio_0, spect_g,
+                cond_int8=(None if cond_q is None
+                           else (cond_q[0], cond_q[1], cond_q[2][k])),
+            )
         s = wn_out[:, n_half:]
         b = wn_out[:, :n_half]
         audio_1 = (audio_1 - b) * jnp.exp(-s)

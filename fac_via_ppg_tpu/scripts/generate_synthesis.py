@@ -62,6 +62,12 @@ def main():
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard fused batches over every chip on the "
                              "'data' mesh axis (multi-chip serving)")
+    parser.add_argument("--cond_impl", default="dense",
+                        choices=["dense", "int8"],
+                        help="int8: vocoder cond matmuls on the int8 MXU "
+                             "(~10%% faster vocoder, 39.4 dB SNR vs "
+                             "f32-dense on the trained ckpt; needs --fused "
+                             "or a batch input)")
     args = parser.parse_args()
 
     output_dir = args.output_dir
@@ -189,10 +195,14 @@ def main():
                 serving_dtype=serving_dtype,
                 max_frames=t2_cfg.max_decoder_steps,
                 data_parallel=args.data_parallel,
+                cond_impl=args.cond_impl,
             )
             key, sub = jax.random.split(key)
             pcm = synth(teacher_utt_path, key=sub)
         else:
+            if args.cond_impl != "dense":
+                raise SystemExit("--cond_impl int8 needs --fused "
+                                 "(or a directory/.txt batch input)")
             teacher_ppg = ppg_mod.get_ppg(teacher_utt_path, deps)
             key, k_mel, k_wg = jax.random.split(key, 3)
             ac_mel = get_inference(

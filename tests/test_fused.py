@@ -274,3 +274,66 @@ def test_fused_batch_model_parallel_matches(tmp_path, rng):
         assert len(g) == len(w), "stop step diverged under DPxTP"
         np.testing.assert_allclose(g, w, atol=1,
                                    err_msg="TP sharding changed the audio")
+
+
+def test_fused_cond_impl_int8_close_to_dense(tmp_path, rng):
+    """cond_impl='int8' must track the dense fused path closely.  Init
+    WaveGlow end layers are zero (the cond projections can't reach the
+    audio), so perturb them first; sigma=0 keeps the draws deterministic.
+    """
+    import pytest
+
+    make_bundle(str(tmp_path / "bundle"), n_senones=16, n_phones=4,
+                hidden_dim=8, num_layers=1)
+    deps = DependenciesPPG(
+        nnet_path=str(tmp_path / "bundle" / "am" / "final.raw.txt"),
+        lda_path=str(tmp_path / "bundle" / "feats" / "final.mat"),
+        reduce_dim_path=str(tmp_path / "bundle" / "feats" / "reduce_dim.mat"),
+        splice_opts_path=str(tmp_path / "bundle" / "feats" / "splice_opts"),
+    )
+    t2_cfg = Tacotron2Config(
+        n_symbols=16, symbols_embedding_dim=16, encoder_embedding_dim=16,
+        decoder_rnn_dim=12, prenet_dim=8, attention_rnn_dim=12,
+        attention_dim=8, attention_location_n_filters=4,
+        attention_location_kernel_size=7, postnet_embedding_dim=16,
+        max_decoder_steps=16,
+    )
+    t2_params, t2_state = init_tacotron2(jax.random.PRNGKey(2), t2_cfg)
+    wg_cfg = WaveGlowConfig(
+        n_mel_channels=80, hop_length=160, n_flows=2, n_group=8,
+        n_early_every=4, n_early_size=2, wn_n_layers=2, wn_n_channels=16,
+        wn_kernel_size=3, upsample_kernel_size=1024,
+    )
+    wg_params = remove_weightnorm(init_waveglow(jax.random.PRNGKey(3), wg_cfg))
+    k = jax.random.PRNGKey(5)
+    for wn in wg_params["wn"]:
+        k, sub = jax.random.split(k)
+        wn["end"]["weight"] = 0.05 * jax.random.normal(
+            sub, wn["end"]["weight"].shape, jnp.float32
+        )
+
+    t = np.arange(8000) / 16000.0
+    p = str(tmp_path / "u.wav")
+    wavfile.write(p, 16000,
+                  (np.sin(2 * np.pi * 200.0 * t) * 9000).astype(np.int16))
+
+    kwargs = dict(sigma=0.0, denoiser_strength=0.005, serving_dtype=None,
+                  max_frames=16, deps=deps)
+    dense = FusedSynthesizer(t2_cfg, t2_params, t2_state, wg_cfg,
+                             wg_params, **kwargs)
+    int8 = FusedSynthesizer(t2_cfg, t2_params, t2_state, wg_cfg,
+                            wg_params, cond_impl="int8", **kwargs)
+    key = jax.random.PRNGKey(11)
+    want = dense(p, key=key).astype(np.float64) / 32767.0
+    got = int8(p, key=key).astype(np.float64) / 32767.0
+    assert len(got) == len(want), "stop step diverged under int8 cond"
+    err = got - want
+    snr = 10 * np.log10(np.sum(want**2) / max(np.sum(err**2), 1e-30))
+    assert snr > 30.0, f"int8 fused SNR too low: {snr:.1f} dB"
+
+    with pytest.raises(ValueError):
+        FusedSynthesizer(t2_cfg, t2_params, t2_state, wg_cfg, wg_params,
+                         cond_impl="int8", model_parallel=2, **kwargs)
+    with pytest.raises(ValueError):
+        FusedSynthesizer(t2_cfg, t2_params, t2_state, wg_cfg, wg_params,
+                         cond_impl="nope", **kwargs)

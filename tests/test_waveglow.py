@@ -206,3 +206,50 @@ def test_waveglow_loss_matches_reference_formula(params, batch):
     ) / (z.shape[0] * z.shape[1] * z.shape[2])
     got = float(waveglow_loss(out, sigma=sigma))
     np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_int8_cond_infer_close_to_dense(params, batch):
+    """cond_impl='int8' (stacked cond matmuls on the int8 MXU) must track
+    the dense f32 path closely.  Init end-layers are zero (cond output
+    cannot reach the audio), so perturb them to make the check meaningful.
+    """
+    from fac_via_ppg_tpu.models.waveglow import pack_waveglow_int8cond
+
+    spect, _ = batch
+    inf_params = remove_weightnorm(params)
+    inf_params = jax.tree_util.tree_map(lambda x: x, inf_params)  # copy
+    k = jax.random.PRNGKey(3)
+    for wn in inf_params["wn"]:
+        k, sub = jax.random.split(k)
+        wn["end"]["weight"] = 0.05 * jax.random.normal(
+            sub, wn["end"]["weight"].shape, jnp.float32
+        )
+    key = jax.random.PRNGKey(0)
+    ref = np.asarray(
+        waveglow_infer(CFG, inf_params, spect, 0.6, key), np.float64
+    )
+    packed = pack_waveglow_int8cond(CFG, inf_params)
+    got = np.asarray(
+        waveglow_infer(CFG, inf_params, spect, 0.6, key,
+                       cond_impl="int8", packed_cond=packed),
+        np.float64,
+    )
+    snr = 10 * np.log10(np.sum(ref**2) / np.sum((got - ref) ** 2))
+    assert snr > 35.0, f"int8 cond SNR too low: {snr:.1f} dB"
+    # pack-on-the-fly path must match the precomputed pack exactly
+    got2 = np.asarray(
+        waveglow_infer(CFG, inf_params, spect, 0.6, key, cond_impl="int8"),
+        np.float64,
+    )
+    np.testing.assert_array_equal(got, got2)
+
+
+def test_int8_cond_rejects_pallas_combination(params, batch):
+    spect, _ = batch
+    inf_params = remove_weightnorm(params)
+    with pytest.raises(ValueError):
+        waveglow_infer(CFG, inf_params, spect, 0.6, jax.random.PRNGKey(0),
+                       cond_impl="int8", wn_impl="pallas_interpret")
+    with pytest.raises(ValueError):
+        waveglow_infer(CFG, inf_params, spect, 0.6, jax.random.PRNGKey(0),
+                       cond_impl="nope")
