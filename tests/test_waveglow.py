@@ -253,3 +253,24 @@ def test_int8_cond_rejects_pallas_combination(params, batch):
     with pytest.raises(ValueError):
         waveglow_infer(CFG, inf_params, spect, 0.6, jax.random.PRNGKey(0),
                        cond_impl="nope")
+
+
+def test_int8_snr_ladder_tool(params, batch):
+    """eval/int8_snr.run_ladder: the quality-ladder harness behind the
+    docs/PERF.md int8 numbers must run and produce sane SNRs."""
+    from fac_via_ppg_tpu.eval.int8_snr import run_ladder
+
+    spect, _ = batch
+    inf_params = remove_weightnorm(params)
+    k = jax.random.PRNGKey(3)
+    for wn in inf_params["wn"]:
+        k, sub = jax.random.split(k)
+        wn["end"]["weight"] = 0.05 * jax.random.normal(
+            sub, wn["end"]["weight"].shape, jnp.float32
+        )
+    ladder = run_ladder(CFG, inf_params, spect[:1])
+    assert set(ladder) == {"bf16_dense", "bf16_int8", "f32_int8"}
+    for name, snr in ladder.items():
+        assert np.isfinite(snr) and snr > 20.0, (name, snr)
+    # int8 on top of bf16 can't be BETTER than f32+int8
+    assert ladder["f32_int8"] >= ladder["bf16_int8"] - 3.0
