@@ -47,6 +47,10 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
     cfg = WaveGlowConfig()
     sr = 16000
     n_frames = int(seconds * sr) // cfg.hop_length
+    if wn_impl != "xla" and cond_impl != "dense":
+        # the pallas WN path has no int8 cond variant — fall back rather
+        # than abort the whole bench on the flag combination
+        cond_impl = "dense"
 
     key = jax.random.PRNGKey(0)
     params = remove_weightnorm(init_waveglow(key, cfg))
@@ -85,11 +89,10 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
         pipeline_depth=2)."""
         mel_b = mel[:b]
         ci = cond_impl if ci is None else ci
-        pc = packed_cond
-        if ci != "dense" and pc is None:
-            from fac_via_ppg_tpu.models.waveglow import pack_waveglow_int8cond
-
-            pc = pack_waveglow_int8cond(cfg, params)
+        # packed_cond exists whenever any caller uses ci='int8' (it is
+        # built above iff cond_impl != 'dense', and explicit ci overrides
+        # only ever downgrade to 'dense')
+        pc = packed_cond if ci != "dense" else None
         # memoized per (dtype, cond_impl) so the serial and pipelined
         # protocols share ONE compiled program (a fresh lambda would
         # retrace and pay the multi-minute tunnel compile twice for
@@ -563,7 +566,11 @@ if __name__ == "__main__":
                         help="int8 (default): stacked cond matmuls on the "
                              "int8 MXU — ~10%% faster; 39.4 dB SNR vs "
                              "f32-dense on the trained ckpt (bf16-dense: "
-                             "40.4 dB).  dense: rounds-1/2 protocol")
+                             "40.4 dB).  dense: rounds-1/2 protocol.  "
+                             "Applies to rtf / e2e_fused / "
+                             "e2e_fused_batch / streaming_fused; the "
+                             "staged configs (e2e, streaming) have no "
+                             "cond plumbing and always run dense")
     parser.add_argument("--train_dtype", default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--batch", type=int, default=None,

@@ -79,6 +79,12 @@ class FusedSynthesizer:
         vocoder throughput at 39.4 dB SNR vs f32-dense on the trained
         checkpoint (docs/PERF.md "int8 cond matmuls").  Not composable
         with model_parallel>1 (the packed weights are not sharded)."""
+        if cond_impl not in ("dense", "int8"):
+            raise ValueError(f"unknown cond_impl {cond_impl!r}")
+        if cond_impl == "int8" and model_parallel > 1:
+            raise ValueError(
+                "cond_impl='int8' is not composable with model_parallel>1"
+            )
         self.deps = deps or ppg_mod.DependenciesPPG()
         self.t2_cfg = dataclasses.replace(
             t2_cfg, max_decoder_steps=max_frames
@@ -92,6 +98,18 @@ class FusedSynthesizer:
         self.max_frames = max_frames
         self.feat_bucket = feat_bucket
 
+        self.cond_impl = cond_impl
+        self._packed_cond = None
+        if cond_impl == "int8":
+            # pack from the UN-cast params: quantizing bf16-rounded
+            # weights would add a second rounding the docs/PERF.md
+            # quality ladder never measured
+            from fac_via_ppg_tpu.models.waveglow import pack_waveglow_int8cond
+
+            self._packed_cond = pack_waveglow_int8cond(
+                wg_cfg, waveglow_params
+            )
+
         # bias spectrum once (its own tiny one-off program)
         den = Denoiser(wg_cfg, waveglow_params)
         self._stft = den.stft
@@ -103,21 +121,6 @@ class FusedSynthesizer:
                 if w is not None:
                     p["weight_inverse"] = w
         self.wg_params = waveglow_params
-
-        if cond_impl not in ("dense", "int8"):
-            raise ValueError(f"unknown cond_impl {cond_impl!r}")
-        if cond_impl == "int8" and model_parallel > 1:
-            raise ValueError(
-                "cond_impl='int8' is not composable with model_parallel>1"
-            )
-        self.cond_impl = cond_impl
-        self._packed_cond = None
-        if cond_impl == "int8":
-            from fac_via_ppg_tpu.models.waveglow import pack_waveglow_int8cond
-
-            self._packed_cond = pack_waveglow_int8cond(
-                wg_cfg, self.wg_params
-            )
 
         self.mesh = None
         if data_parallel or model_parallel > 1:

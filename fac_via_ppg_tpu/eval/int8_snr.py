@@ -32,11 +32,7 @@ from fac_via_ppg_tpu.dsp.stft import TacotronSTFT
 
 def waveglow_config_from_json(path: str) -> WaveGlowConfig:
     """config.json (reference waveglow/config.json schema) -> WaveGlowConfig."""
-    cfgj = json.load(open(path))["waveglow_config"]
-    wn = cfgj.pop("WN_config")
-    return WaveGlowConfig(**cfgj, wn_n_layers=wn["n_layers"],
-                          wn_n_channels=wn["n_channels"],
-                          wn_kernel_size=wn["kernel_size"])
+    return WaveGlowConfig.from_dict(json.load(open(path))["waveglow_config"])
 
 
 def matched_noise(cfg: WaveGlowConfig, batch: int, n_frames: int,
@@ -110,6 +106,7 @@ def main(argv=None):
 
     stft = TacotronSTFT(filter_length=1024, hop_length=cfg.hop_length,
                         win_length=1024, sampling_rate=16000,
+                        n_mel_channels=cfg.n_mel_channels,
                         mel_fmin=0.0, mel_fmax=8000.0)
     mels = []
     for p in args.wav:

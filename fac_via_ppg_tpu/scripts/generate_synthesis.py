@@ -149,6 +149,7 @@ def main():
             serving_dtype=serving_dtype,
             max_frames=t2_cfg.max_decoder_steps,
             data_parallel=args.data_parallel,
+            cond_impl=args.cond_impl,
         )
         # one chunk stays in flight (launch/collect split): chunk N+1's
         # featurization + device execution overlap chunk N's PCM readback

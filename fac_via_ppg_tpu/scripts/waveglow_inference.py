@@ -31,7 +31,11 @@ from fac_via_ppg_tpu.utils.inference import load_waveglow_model
 
 def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
          batch_size=1, sampling_rate=16000, data_parallel=False,
-         compute_dtype="float32", wn_impl="xla", model_parallel=1):
+         compute_dtype="float32", wn_impl="xla", model_parallel=1,
+         cond_impl="dense"):
+    if cond_impl == "int8" and (wn_impl != "xla" or model_parallel > 1):
+        raise SystemExit("--cond_impl int8 requires --wn_impl xla and "
+                         "--model_parallel 1")
     cfg = WaveGlowConfig()
     params = load_waveglow_model(waveglow_path, cfg)
     denoiser = Denoiser(cfg, params) if denoiser_strength > 0 else None
@@ -54,9 +58,18 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
         from fac_via_ppg_tpu.models.waveglow import pack_waveglow_pallas
 
         packed_wn = pack_waveglow_pallas(cfg, params)
+    packed_cond = None
+    if cond_impl == "int8":
+        # pack from the f32 params, before any cast/sharding (the
+        # docs/PERF.md quality ladder is measured in this configuration)
+        from fac_via_ppg_tpu.models.waveglow import pack_waveglow_int8cond
+
+        packed_cond = pack_waveglow_int8cond(cfg, params)
     infer = jax.jit(
         lambda p, pk, m, k: waveglow_infer(cfg, p, m, sigma, k, dtype=dtype,
-                                           wn_impl=wn_impl, packed_wn=pk)
+                                           wn_impl=wn_impl, packed_wn=pk,
+                                           cond_impl=cond_impl,
+                                           packed_cond=packed_cond)
     )
     mesh = None
     if (data_parallel or model_parallel > 1) and jax.device_count() > 1:
@@ -153,7 +166,13 @@ if __name__ == "__main__":
                              "--data_parallel)")
     parser.add_argument("--compute_dtype", default="float32",
                         choices=["float32", "bfloat16"],
-                        help="serving dtype (bf16: ~1.5x faster, 55 dB SNR)")
+                        help="serving dtype (bf16: ~1.5x faster; 40.4 dB "
+                             "SNR vs f32 on the trained ckpt — "
+                             "docs/PERF.md quality ladder)")
+    parser.add_argument("--cond_impl", default="dense",
+                        choices=["dense", "int8"],
+                        help="int8: cond matmuls on the int8 MXU (~10%% "
+                             "faster; 39.4 dB SNR with bf16)")
     parser.add_argument("--wn_impl", default="xla",
                         choices=["xla", "pallas"],
                         help="coupling-net impl; pallas = fused VMEM kernel "
@@ -162,4 +181,4 @@ if __name__ == "__main__":
     main(args.filelist_path, args.waveglow_path, args.output_dir, args.sigma,
          args.denoiser_strength, args.batch_size, args.sampling_rate,
          args.data_parallel, args.compute_dtype, args.wn_impl,
-         args.model_parallel)
+         args.model_parallel, args.cond_impl)
