@@ -32,11 +32,22 @@ from fac_via_ppg_tpu.utils.inference import load_waveglow_model
 def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
          batch_size=1, sampling_rate=16000, data_parallel=False,
          compute_dtype="float32", wn_impl="xla", model_parallel=1,
-         cond_impl="dense"):
+         cond_impl="dense", config_path=None):
     if cond_impl == "int8" and (wn_impl != "xla" or model_parallel > 1):
         raise SystemExit("--cond_impl int8 requires --wn_impl xla and "
                          "--model_parallel 1")
-    cfg = WaveGlowConfig()
+    # The reference CLI recovers the architecture from the pickled model
+    # object (waveglow/inference.py:40); our checkpoints are bare param
+    # pytrees, so non-default sizes are named explicitly via the same
+    # config.json schema the reference trains from (waveglow/config.json).
+    if config_path is not None:
+        import json
+
+        cfg = WaveGlowConfig.from_dict(
+            json.load(open(config_path))["waveglow_config"]
+        )
+    else:
+        cfg = WaveGlowConfig()
     params = load_waveglow_model(waveglow_path, cfg)
     denoiser = Denoiser(cfg, params) if denoiser_strength > 0 else None
 
@@ -177,8 +188,12 @@ if __name__ == "__main__":
                         choices=["xla", "pallas"],
                         help="coupling-net impl; pallas = fused VMEM kernel "
                              "(one-off Mosaic compile per dilation)")
+    parser.add_argument("-c", "--config", default=None,
+                        help="config.json naming a non-default architecture "
+                             "(reference waveglow/config.json schema); "
+                             "default: the reference 12-flow model")
     args = parser.parse_args()
     main(args.filelist_path, args.waveglow_path, args.output_dir, args.sigma,
          args.denoiser_strength, args.batch_size, args.sampling_rate,
          args.data_parallel, args.compute_dtype, args.wn_impl,
-         args.model_parallel, args.cond_impl)
+         args.model_parallel, args.cond_impl, args.config)
