@@ -77,14 +77,12 @@ class FusedSynthesizer:
         `cond_impl='int8'` runs the vocoder's stacked cond matmuls on the
         int8 MXU (models/waveglow.py pack_waveglow_int8cond): ~10% more
         vocoder throughput at 39.4 dB SNR vs f32-dense on the trained
-        checkpoint (docs/PERF.md "int8 cond matmuls").  Not composable
-        with model_parallel>1 (the packed weights are not sharded)."""
+        checkpoint (docs/PERF.md "int8 cond matmuls").  Composes with
+        model_parallel>1: the packed stack shards column-parallel over
+        the 'model' axis (parallel/sharding.int8cond_shardings), the
+        same placement the dense cond_layers get."""
         if cond_impl not in ("dense", "int8"):
             raise ValueError(f"unknown cond_impl {cond_impl!r}")
-        if cond_impl == "int8" and model_parallel > 1:
-            raise ValueError(
-                "cond_impl='int8' is not composable with model_parallel>1"
-            )
         self.deps = deps or ppg_mod.DependenciesPPG()
         self.t2_cfg = dataclasses.replace(
             t2_cfg, max_decoder_steps=max_frames
@@ -141,7 +139,18 @@ class FusedSynthesizer:
                 self.wg_params = replicate(self.mesh, self.wg_params)
             self._bias = replicate(self.mesh, self._bias)
             if self._packed_cond is not None:
-                self._packed_cond = replicate(self.mesh, self._packed_cond)
+                if model_parallel > 1:
+                    from fac_via_ppg_tpu.parallel.sharding import (
+                        apply_shardings,
+                        int8cond_shardings,
+                    )
+
+                    self._packed_cond = apply_shardings(
+                        self._packed_cond,
+                        int8cond_shardings(self.mesh, self._packed_cond),
+                    )
+                else:
+                    self._packed_cond = replicate(self.mesh, self._packed_cond)
 
         self._fn = jax.jit(self._device_program)
         self._fn_batch = jax.jit(self._device_program_batch)

@@ -61,19 +61,25 @@ def run_ladder(cfg: WaveGlowConfig, params, mel: jnp.ndarray,
     noise = matched_noise(cfg, mel.shape[0], mel.shape[2], seed)
     packed = pack_waveglow_int8cond(cfg, params)
 
-    def run(dtype, cond_impl):
+    def run(dtype, cond_impl, cond_quant="column"):
         fn = jax.jit(lambda p, m: waveglow_infer(
             cfg, p, m, sigma, None, dtype=dtype, noise=noise,
-            cond_impl=cond_impl,
+            cond_impl=cond_impl, cond_quant=cond_quant,
             packed_cond=(packed if cond_impl == "int8" else None)))
         return np.asarray(fn(params, mel), np.float64)
 
     ref = run(jnp.float32, "dense")
     out = {}
-    for name, dtype, ci in [("bf16_dense", jnp.bfloat16, "dense"),
-                            ("bf16_int8", jnp.bfloat16, "int8"),
-                            ("f32_int8", jnp.float32, "int8")]:
-        got = run(dtype, ci)
+    for name, dtype, ci, cq in [
+        ("bf16_dense", jnp.bfloat16, "dense", "column"),
+        ("bf16_int8", jnp.bfloat16, "int8", "column"),
+        ("f32_int8", jnp.float32, "int8", "column"),
+        # per-tensor activation scales: the pre-round-3 int8 mode, kept
+        # measurable so the per-column win is an A/B on one checkpoint
+        ("bf16_int8_tensorscale", jnp.bfloat16, "int8", "tensor"),
+        ("f32_int8_tensorscale", jnp.float32, "int8", "tensor"),
+    ]:
+        got = run(dtype, ci, cq)
         err = got - ref
         out[name] = round(float(
             10 * np.log10(np.sum(ref ** 2) / max(np.sum(err ** 2), 1e-30))

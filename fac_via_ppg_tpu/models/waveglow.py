@@ -209,6 +209,24 @@ def quantize_per_tensor_int8(x: jnp.ndarray):
     return q, scale
 
 
+def quantize_per_column_int8(x: jnp.ndarray):
+    """Dynamic symmetric int8 per (batch, position) column of a (B, C, G)
+    activation: (q, scale (B, G)) with x[b, :, g] ~= q[b, :, g] * s[b, g].
+
+    For a matmul that contracts the C axis the column scale sits OUTSIDE
+    the int32 accumulation, so dequantization stays exact while the
+    quantization step adapts to each position's local amplitude — quiet
+    spectrogram regions keep ~42 dB of quantization SNR instead of
+    inheriting the loudest frame's step size (per-tensor scaling)."""
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1), 1e-8
+    ) / 127.0                                            # (B, G)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[:, None, :]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
 def pack_waveglow_int8cond(cfg: WaveGlowConfig, params: dict) -> list:
     """Per-flow int8 packing of the stacked cond matmul (per-OUT-CHANNEL
     symmetric weight scales).  Precompute ONCE outside jit; feed to
@@ -261,9 +279,13 @@ def wn_apply(cfg: WaveGlowConfig, wn: dict, audio_half: jnp.ndarray,
             "oc,bcg->bog", pk["wq"], sq,
             preferred_element_type=jnp.int32,
         )
+        # s_scale: scalar (per-tensor) or (B, G) (per-column); either way
+        # it sits outside the contracted axis so dequant is exact.
+        s_bcast = (s_scale if jnp.ndim(s_scale) == 0
+                   else s_scale[:, None, :])
         cond_all = (
             acc.astype(jnp.float32)
-            * (s_scale * pk["w_scale"])[None, :, None]
+            * s_bcast * pk["w_scale"][None, :, None]
             + pk["bias"][None, :, None]
         ).astype(audio.dtype)
     else:
@@ -533,7 +555,8 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
                    sigma: float, key, dtype=None, noise=None,
                    wn_impl: str = "xla", packed_wn=None,
                    cond_impl: str = "dense",
-                   packed_cond=None) -> jnp.ndarray:
+                   packed_cond=None,
+                   cond_quant: str = "column") -> jnp.ndarray:
     """(B, 80, F) mel -> (B, T) audio (reference glow.py:252-293).
 
     `params` should be the remove_weightnorm form; the train form also works
@@ -557,8 +580,8 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
     'pallas_interpret' (kernel semantics on the CPU interpreter, tests).
 
     `cond_impl='int8'` (xla path only) runs the stacked cond matmuls on
-    the int8 MXU: the grouped spect quantizes ONCE per call (dynamic
-    per-tensor), weights per-out-channel (pass `packed_cond` from
+    the int8 MXU: the grouped spect quantizes ONCE per call (dynamic,
+    per (batch, position) column), weights per-out-channel (pass `packed_cond` from
     pack_waveglow_int8cond to keep the weight quantization out of the
     per-call path).  Lossy — opt in only with a measured SNR budget
     (docs/PERF.md).
@@ -608,9 +631,16 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
         packed = packed_wn or pack_waveglow_pallas(cfg, params)
     cond_q = None
     if cond_impl == "int8":
+        if cond_quant not in ("column", "tensor"):
+            raise ValueError(f"unknown cond_quant {cond_quant!r}")
         pack_c = packed_cond or pack_waveglow_int8cond(cfg, params)
-        # the spect is constant across flows: quantize it once per call
-        sq, s_scale = quantize_per_tensor_int8(spect_g)
+        # the spect is constant across flows: quantize it once per call,
+        # per (batch, position) column — exact dequant, locally adaptive
+        # step size (quantize_per_column_int8).  cond_quant='tensor' keeps
+        # the per-tensor scale for A/B measurement (eval/int8_snr).
+        sq, s_scale = (quantize_per_column_int8(spect_g)
+                       if cond_quant == "column"
+                       else quantize_per_tensor_int8(spect_g))
         cond_q = (sq, s_scale, pack_c)
 
     for k in reversed(range(cfg.n_flows)):

@@ -113,6 +113,32 @@ def waveglow_param_shardings(mesh: Mesh, params) -> dict:
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 
+def int8cond_shardings(mesh: Mesh, packed) -> list:
+    """NamedSharding pytree for pack_waveglow_int8cond output under TP.
+
+    The packed cond weights stack every WN layer's (2C, 640) matrix into
+    one (L*2C, 640) int8 matrix per flow; under a 'model' mesh axis the
+    stacked OUT-channel shards column-parallel — the same placement the
+    dense cond_layers get from waveglow_param_shardings, so the int8 MXU
+    matmul computes each device's gate-channel block locally and GSPMD
+    reshards the per-layer split for the in_conv add exactly as in the
+    dense program.  Scales and biases follow the out-channel.  Leaves
+    whose leading dim doesn't divide the axis stay replicated (tiny test
+    configs degrade gracefully)."""
+    model_axis = mesh.shape.get("model", 1)
+
+    def spec_for(leaf) -> P:
+        shape = getattr(leaf, "shape", ())
+        if model_axis <= 1 or not shape or shape[0] % model_axis or \
+                shape[0] <= 1:
+            return P()
+        return P(*(["model"] + [None] * (len(shape) - 1)))
+
+    return jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(mesh, spec_for(leaf)), packed
+    )
+
+
 def optimizer_state_shardings(mesh: Mesh, opt_state, axis: str = "data"):
     """ZeRO-1: shard optimizer state over the data axis.
 

@@ -33,9 +33,8 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
          batch_size=1, sampling_rate=16000, data_parallel=False,
          compute_dtype="float32", wn_impl="xla", model_parallel=1,
          cond_impl="dense", config_path=None):
-    if cond_impl == "int8" and (wn_impl != "xla" or model_parallel > 1):
-        raise SystemExit("--cond_impl int8 requires --wn_impl xla and "
-                         "--model_parallel 1")
+    if cond_impl == "int8" and wn_impl != "xla":
+        raise SystemExit("--cond_impl int8 requires --wn_impl xla")
     # The reference CLI recovers the architecture from the pickled model
     # object (waveglow/inference.py:40); our checkpoints are bare param
     # pytrees, so non-default sizes are named explicitly via the same
@@ -101,8 +100,18 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
             params = apply_shardings(
                 params, waveglow_param_shardings(mesh, params)
             )
+            if packed_cond is not None:
+                from fac_via_ppg_tpu.parallel.sharding import (
+                    int8cond_shardings,
+                )
+
+                packed_cond = apply_shardings(
+                    packed_cond, int8cond_shardings(mesh, packed_cond)
+                )
         else:
             params = replicate(mesh, params)
+            if packed_cond is not None:
+                packed_cond = replicate(mesh, packed_cond)
         batch_size = max(batch_size, mesh.shape["data"])
         print(f"vocoder mesh: {mesh.shape['data']} data x "
               f"{mesh.shape['model']} model")

@@ -331,9 +331,21 @@ def test_fused_cond_impl_int8_close_to_dense(tmp_path, rng):
     snr = 10 * np.log10(np.sum(want**2) / max(np.sum(err**2), 1e-30))
     assert snr > 30.0, f"int8 fused SNR too low: {snr:.1f} dB"
 
-    with pytest.raises(ValueError):
-        FusedSynthesizer(t2_cfg, t2_params, t2_state, wg_cfg, wg_params,
-                         cond_impl="int8", model_parallel=2, **kwargs)
+    # int8 composes with tensor parallelism: the packed cond stack shards
+    # column-parallel over the 'model' axis (parallel/sharding.
+    # int8cond_shardings); the int32 MXU accumulation has an unsplit
+    # contraction dim, so the TP program must reproduce the single-device
+    # int8 audio to int16 rounding.
+    int8_tp = FusedSynthesizer(t2_cfg, t2_params, t2_state, wg_cfg,
+                               wg_params, cond_impl="int8",
+                               model_parallel=2, **kwargs)
+    got_tp = int8_tp(p, key=key).astype(np.float64) / 32767.0
+    assert len(got_tp) == len(got), "stop step diverged under int8 TP"
+    np.testing.assert_allclose(
+        got_tp, got, atol=1.5 / 32767.0,
+        err_msg="int8 TP sharding changed the audio",
+    )
+
     with pytest.raises(ValueError):
         FusedSynthesizer(t2_cfg, t2_params, t2_state, wg_cfg, wg_params,
                          cond_impl="nope", **kwargs)

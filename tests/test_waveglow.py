@@ -244,6 +244,32 @@ def test_int8_cond_infer_close_to_dense(params, batch):
     np.testing.assert_array_equal(got, got2)
 
 
+def test_int8_per_column_quantization_adapts_locally():
+    """The cond-matmul activation quantizer scales per (batch, position)
+    column — the scale sits outside the contracted channel axis, so
+    dequant is exact while quiet spectrogram regions keep local precision
+    instead of inheriting the loudest frame's step size."""
+    from fac_via_ppg_tpu.models.waveglow import (
+        quantize_per_column_int8,
+        quantize_per_tensor_int8,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 64, 32)).astype(np.float32)
+    x[:, :, 16:] *= 0.01  # quiet half: 40 dB below the loud columns
+    qc, sc = quantize_per_column_int8(jnp.asarray(x))
+    qt, st = quantize_per_tensor_int8(jnp.asarray(x))
+    assert qc.dtype == jnp.int8 and sc.shape == (2, 32)
+    rec_c = np.asarray(qc, np.float64) * np.asarray(sc)[:, None, :]
+    rec_t = np.asarray(qt, np.float64) * float(st)
+    # loud columns: both quantizers equally fine
+    np.testing.assert_allclose(rec_c[:, :, :16], x[:, :, :16], atol=0.04)
+    # quiet columns: per-column error is orders of magnitude smaller
+    err_c = float(((rec_c - x) ** 2)[:, :, 16:].sum())
+    err_t = float(((rec_t - x) ** 2)[:, :, 16:].sum())
+    assert err_c < err_t / 100, (err_c, err_t)
+
+
 def test_int8_cond_rejects_pallas_combination(params, batch):
     spect, _ = batch
     inf_params = remove_weightnorm(params)
@@ -269,8 +295,11 @@ def test_int8_snr_ladder_tool(params, batch):
             sub, wn["end"]["weight"].shape, jnp.float32
         )
     ladder = run_ladder(CFG, inf_params, spect[:1])
-    assert set(ladder) == {"bf16_dense", "bf16_int8", "f32_int8"}
+    assert {"bf16_dense", "bf16_int8", "f32_int8",
+            "bf16_int8_tensorscale", "f32_int8_tensorscale"} <= set(ladder)
     for name, snr in ladder.items():
         assert np.isfinite(snr) and snr > 20.0, (name, snr)
     # int8 on top of bf16 can't be BETTER than f32+int8
     assert ladder["f32_int8"] >= ladder["bf16_int8"] - 3.0
+    # per-column activation scales must not be worse than per-tensor
+    assert ladder["f32_int8"] >= ladder["f32_int8_tensorscale"] - 0.5
