@@ -153,7 +153,9 @@ _TPU_EXTENSIONS: Dict[str, Any] = {
     # wide PPG prenet matrices (parallel/sharding.py).  1 disables TP.
     "tensor_parallel_devices": 1,
     # ZeRO-1: shard the Adam moments over the data axis
-    # (parallel/sharding.optimizer_state_shardings).  Pure-DP runs only.
+    # (parallel/sharding.optimizer_state_shardings); composes with
+    # tensor_parallel_devices (moments keep the TP 'model' split and add
+    # 'data' on an unsharded dim).
     "zero_sharded_opt_state": False,
     # Rematerialize the decoder scan body in backward (jax.checkpoint):
     # per-step attention/LSTM internals recompute from the carries

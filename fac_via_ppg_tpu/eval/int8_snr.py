@@ -51,9 +51,28 @@ def matched_noise(cfg: WaveGlowConfig, batch: int, n_frames: int,
     return [rng.standard_normal(s).astype(np.float32) for s in shapes]
 
 
+def _snr_db(ref: np.ndarray, got: np.ndarray) -> float:
+    err = got - ref
+    return round(float(
+        10 * np.log10(np.sum(ref ** 2) / max(np.sum(err ** 2), 1e-30))
+    ), 2)
+
+
 def run_ladder(cfg: WaveGlowConfig, params, mel: jnp.ndarray,
-               sigma: float = 0.6, seed: int = 0) -> dict:
-    """{name: SNR dB vs f32-dense} for each reduced-precision mode."""
+               sigma: float = 0.6, seed: int = 0,
+               include_tensorscale: bool = False,
+               detailed: bool = False) -> dict:
+    """{name: SNR dB vs f32-dense} for each reduced-precision mode.
+
+    include_tensorscale adds the pre-round-3 per-tensor activation-scale
+    int8 rungs for A/B measurement — opt-in because each rung compiles a
+    full WaveGlow program (~3 min on the real chip's tunnel).
+
+    detailed=True returns {name: {"db", "per_utt_db", "worst_utt_db"}}
+    instead of bare floats: per_utt_db is the SNR of each batch row
+    (utterance) separately, worst_utt_db its minimum — the quality gate
+    should be judged on the worst utterance, not the batch mean.
+    """
     from fac_via_ppg_tpu.models.waveglow import (
         pack_waveglow_int8cond, waveglow_infer,
     )
@@ -69,22 +88,61 @@ def run_ladder(cfg: WaveGlowConfig, params, mel: jnp.ndarray,
         return np.asarray(fn(params, mel), np.float64)
 
     ref = run(jnp.float32, "dense")
-    out = {}
-    for name, dtype, ci, cq in [
+    rungs = [
         ("bf16_dense", jnp.bfloat16, "dense", "column"),
         ("bf16_int8", jnp.bfloat16, "int8", "column"),
         ("f32_int8", jnp.float32, "int8", "column"),
+    ]
+    if include_tensorscale:
         # per-tensor activation scales: the pre-round-3 int8 mode, kept
         # measurable so the per-column win is an A/B on one checkpoint
-        ("bf16_int8_tensorscale", jnp.bfloat16, "int8", "tensor"),
-        ("f32_int8_tensorscale", jnp.float32, "int8", "tensor"),
-    ]:
+        rungs += [
+            ("bf16_int8_tensorscale", jnp.bfloat16, "int8", "tensor"),
+            ("f32_int8_tensorscale", jnp.float32, "int8", "tensor"),
+        ]
+    out = {}
+    for name, dtype, ci, cq in rungs:
         got = run(dtype, ci, cq)
-        err = got - ref
-        out[name] = round(float(
-            10 * np.log10(np.sum(ref ** 2) / max(np.sum(err ** 2), 1e-30))
-        ), 2)
+        if detailed:
+            per_utt = [_snr_db(ref[b], got[b]) for b in range(ref.shape[0])]
+            out[name] = {"db": _snr_db(ref, got), "per_utt_db": per_utt,
+                         "worst_utt_db": min(per_utt)}
+        else:
+            out[name] = _snr_db(ref, got)
     return out
+
+
+def select_cond_impl(cfg: WaveGlowConfig, params, mel: jnp.ndarray,
+                     budget_db: float, sigma: float = 0.6,
+                     seed: int = 0) -> tuple:
+    """Automatic dense fallback for the int8 serving mode.
+
+    Measures the bf16+int8 serving path's worst-utterance SNR against
+    f32-dense on the given calibration mel; returns ("int8", snr) when it
+    meets budget_db, ("dense", snr) otherwise.  A deployment whose
+    checkpoint/corpus quantizes worse than the docs/PERF.md study (39.4 dB)
+    degrades to the dense path instead of shipping out-of-budget audio —
+    the safety rail the reference's own lossy fp16 serving mode
+    (src/waveglow/inference.py:38-41) never had.
+    """
+    from fac_via_ppg_tpu.models.waveglow import (
+        pack_waveglow_int8cond, waveglow_infer,
+    )
+
+    noise = matched_noise(cfg, mel.shape[0], mel.shape[2], seed)
+    packed = pack_waveglow_int8cond(cfg, params)
+
+    def run(dtype, cond_impl):
+        fn = jax.jit(lambda p, m: waveglow_infer(
+            cfg, p, m, sigma, None, dtype=dtype, noise=noise,
+            cond_impl=cond_impl,
+            packed_cond=(packed if cond_impl == "int8" else None)))
+        return np.asarray(fn(params, mel), np.float64)
+
+    ref = run(jnp.float32, "dense")
+    got = run(jnp.bfloat16, "int8")
+    worst = min(_snr_db(ref[b], got[b]) for b in range(ref.shape[0]))
+    return ("int8" if worst >= budget_db else "dense"), worst
 
 
 def main(argv=None):
@@ -104,6 +162,9 @@ def main(argv=None):
                         help="wav files providing the conditioning mel")
     parser.add_argument("--sigma", type=float, default=0.6)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--include_tensorscale", action="store_true",
+                        help="add the per-tensor-scale A/B rungs (two "
+                             "extra full-program compiles)")
     args = parser.parse_args(argv)
 
     cfg = (waveglow_config_from_json(args.config) if args.config
@@ -121,7 +182,9 @@ def main(argv=None):
     F = min(m.shape[1] for m in mels)
     mel = jnp.asarray(np.stack([m[:, :F] for m in mels]))
 
-    ladder = run_ladder(cfg, params, mel, args.sigma, args.seed)
+    ladder = run_ladder(cfg, params, mel, args.sigma, args.seed,
+                        include_tensorscale=args.include_tensorscale,
+                        detailed=True)
     print(json.dumps({"snr_db_vs_f32_dense": ladder,
                       "mel_shape": list(mel.shape),
                       "device": str(jax.devices()[0])}))

@@ -71,8 +71,14 @@ def extract_features(wav_path: str, hparams, deps) -> Tuple[np.ndarray, np.ndarr
 
 
 def run_parity(checkpoint: str, filelist: str,
-               against_torch_oracle: bool = False) -> dict:
-    hparams = create_hparams_stage()
+               against_torch_oracle: bool = False,
+               t2_kw: Optional[dict] = None,
+               deps: Optional[ppg_mod.DependenciesPPG] = None) -> dict:
+    """`t2_kw` — size overrides applied to BOTH sides (this framework's
+    config and the torch oracle's create_hparams_stage); empty = the
+    full-size stage configuration.  `deps` — an already-loaded AM bundle
+    (defaults to the repo data/ bundle)."""
+    hparams = create_hparams_stage(**(t2_kw or {}))
     cfg = Tacotron2Config.from_hparams(hparams)
 
     if checkpoint.endswith(".pt") or checkpoint.endswith(".pth"):
@@ -88,7 +94,7 @@ def run_parity(checkpoint: str, filelist: str,
 
         params, model_state = load_tacotron2_model(checkpoint, cfg)
 
-    deps = ppg_mod.DependenciesPPG()
+    deps = deps or ppg_mod.DependenciesPPG()
     with open(filelist) as f:
         wavs = [line.strip() for line in f if line.strip()]
 

@@ -170,15 +170,34 @@ def run_trained_parity(
         t2_kw["max_decoder_steps"] = max_decoder_steps
 
     # --- our models -------------------------------------------------------
+    # Checkpoints may be this framework's orbax dirs OR the reference's
+    # torch formats (.pt/.pth): bring-your-own-artifacts deployments hand
+    # us reference-trained checkpoints directly (docs/RUNBOOK.md).
     t2_cfg = Tacotron2Config.from_hparams(create_hparams_stage(**t2_kw))
     wg_cfg = wg_cfg or WaveGlowConfig()
-    t2_params, t2_state = load_tacotron2_model(t2_ckpt, t2_cfg)
-    wg_template = jax.eval_shape(
-        lambda k: init_waveglow(k, wg_cfg), jax.random.PRNGKey(0)
-    )
-    wg_train_params = ckpt.load_checkpoint(
-        wg_ckpt, like={"params": wg_template}, partial=True
-    )["params"]
+    if t2_ckpt.endswith((".pt", ".pth")):
+        from fac_via_ppg_tpu.train.import_torch import (
+            load_reference_tacotron2_checkpoint,
+        )
+
+        t2_params, t2_state, _, _ = load_reference_tacotron2_checkpoint(
+            t2_ckpt, t2_cfg
+        )
+    else:
+        t2_params, t2_state = load_tacotron2_model(t2_ckpt, t2_cfg)
+    if wg_ckpt.endswith((".pt", ".pth")):
+        from fac_via_ppg_tpu.train.import_torch import (
+            load_reference_waveglow_checkpoint,
+        )
+
+        wg_train_params = load_reference_waveglow_checkpoint(wg_ckpt, wg_cfg)
+    else:
+        wg_template = jax.eval_shape(
+            lambda k: init_waveglow(k, wg_cfg), jax.random.PRNGKey(0)
+        )
+        wg_train_params = ckpt.load_checkpoint(
+            wg_ckpt, like={"params": wg_template}, partial=True
+        )["params"]
     wg_params = remove_weightnorm(wg_train_params)
     denoiser = Denoiser(wg_cfg, wg_params)
 

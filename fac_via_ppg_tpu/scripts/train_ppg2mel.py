@@ -136,6 +136,21 @@ def train(output_directory, log_directory, checkpoint_path, warm_start,
         from fac_via_ppg_tpu.parallel.mesh import normalize_tree_placement
 
         opt_state = normalize_tree_placement(mesh, optimizer.init(params))
+        if getattr(hparams, "zero_sharded_opt_state", False):
+            # ZeRO-1 composed with TP: moments keep the 'model' split and
+            # additionally shard over 'data' on an unsharded dim
+            from fac_via_ppg_tpu.parallel.sharding import (
+                apply_shardings,
+                optimizer_state_shardings,
+                tacotron2_spec_fn,
+            )
+
+            opt_state = apply_shardings(
+                opt_state,
+                optimizer_state_shardings(
+                    mesh, opt_state, param_spec_fn=tacotron2_spec_fn(mesh)
+                ),
+            )
     elif getattr(hparams, "zero_sharded_opt_state", False):
         # ZeRO-1: Adam moments shard over the data axis
         from fac_via_ppg_tpu.parallel.sharding import (

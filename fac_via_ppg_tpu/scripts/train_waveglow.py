@@ -50,7 +50,7 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
     `tensor_parallel_devices` > 1 builds a (data, model) mesh and shards
     the WN hidden channel over the model axis (parallel/sharding.py);
     `zero_sharded_opt_state` shards the Adam moments over the data axis
-    (ZeRO-1) in pure-DP runs.
+    (ZeRO-1); composes with TP (moments keep the 'model' split).
     """
     del num_gpus, rank, group_name  # single-controller JAX
 
@@ -77,6 +77,20 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
         # moments inherit the TP param layout; freshly created scalars
         # (count, injected lr) are re-placed onto the mesh replicated
         opt_state = normalize_tree_placement(mesh, optimizer.init(params))
+        if zero_sharded_opt_state:
+            # ZeRO-1 composed with TP: moments keep the 'model' split and
+            # additionally shard over 'data' on an unsharded dim
+            from fac_via_ppg_tpu.parallel.sharding import (
+                optimizer_state_shardings,
+                waveglow_spec_fn,
+            )
+
+            opt_state = apply_shardings(
+                opt_state,
+                optimizer_state_shardings(
+                    mesh, opt_state, param_spec_fn=waveglow_spec_fn(mesh)
+                ),
+            )
     else:
         place_params = lambda p: replicate(mesh, p)  # noqa: E731
         opt_state = optimizer.init(params)  # host params: plain layout

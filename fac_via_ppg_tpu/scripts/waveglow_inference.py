@@ -75,11 +75,15 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
         from fac_via_ppg_tpu.models.waveglow import pack_waveglow_int8cond
 
         packed_cond = pack_waveglow_int8cond(cfg, params)
+    # packed_cond/packed_wn are passed as explicit jit arguments (not
+    # closure captures) so the sharded/replicated versions bound below are
+    # used by construction, not by Python late-binding timing.
     infer = jax.jit(
-        lambda p, pk, m, k: waveglow_infer(cfg, p, m, sigma, k, dtype=dtype,
-                                           wn_impl=wn_impl, packed_wn=pk,
-                                           cond_impl=cond_impl,
-                                           packed_cond=packed_cond)
+        lambda p, pk, pc, m, k: waveglow_infer(cfg, p, m, sigma, k,
+                                               dtype=dtype,
+                                               wn_impl=wn_impl, packed_wn=pk,
+                                               cond_impl=cond_impl,
+                                               packed_cond=pc)
     )
     mesh = None
     if (data_parallel or model_parallel > 1) and jax.device_count() > 1:
@@ -148,7 +152,8 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
                         mel_batch, batch_sharding(mesh)
                     )
                 key, sub = jax.random.split(key)
-                audio = infer(params, packed_wn, mel_batch, sub)[: len(chunk)]
+                audio = infer(params, packed_wn, packed_cond,
+                              mel_batch, sub)[: len(chunk)]
                 if denoiser is not None:
                     audio = denoiser(
                         audio, strength=denoiser_strength

@@ -76,9 +76,15 @@ def load_old_reference_waveglow_checkpoint(path: str,
     """Old pickled-module checkpoint -> params (reference convert_model.py)."""
     import torch
 
-    from fac_via_ppg_tpu.train.import_torch import _install_glow_shims
+    from fac_via_ppg_tpu.train.import_torch import (
+        _install_glow_shims,
+        _remove_glow_shims,
+    )
 
-    _install_glow_shims()
-    payload = torch.load(path, map_location="cpu", weights_only=False)
+    installed = _install_glow_shims()
+    try:
+        payload = torch.load(path, map_location="cpu", weights_only=False)
+    finally:
+        _remove_glow_shims(installed)
     model = payload["model"] if isinstance(payload, dict) else payload
     return import_old_waveglow_state_dict(model.state_dict(), cfg)

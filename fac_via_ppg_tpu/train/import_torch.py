@@ -167,6 +167,14 @@ def _install_glow_shims():
     pickle references classes in modules 'glow' / 'waveglow.glow' /
     'waveglow.glow_old'.  Pickle only needs the classes to exist (it
     restores __dict__ directly), so empty nn.Module subclasses suffice.
+
+    Returns the module names this call registered so the caller can
+    remove them once torch.load returns: a shim left at
+    sys.modules['waveglow.glow'] would shadow the REAL reference module
+    for any later importlib.import_module of it (the torch-oracle parity
+    harnesses load the reference from the mount by exactly that name).
+    Names that were already present are never overwritten and never
+    removed.
     """
     import torch
 
@@ -187,12 +195,21 @@ def _install_glow_shims():
         mod.Invertible1x1Conv = Invertible1x1Conv
         return mod
 
+    installed = []
     for name in ("glow", "waveglow.glow", "waveglow.glow_old", "glow_old"):
         if name not in sys.modules:
             parent_name = name.rsplit(".", 1)[0] if "." in name else None
             if parent_name and parent_name not in sys.modules:
                 sys.modules[parent_name] = types.ModuleType(parent_name)
+                installed.append(parent_name)
             sys.modules[name] = make_module(name)
+            installed.append(name)
+    return installed
+
+
+def _remove_glow_shims(installed):
+    for name in installed:
+        sys.modules.pop(name, None)
 
 
 def import_waveglow_state_dict(sd: Dict, cfg: WaveGlowConfig) -> dict:
@@ -253,7 +270,10 @@ def load_reference_waveglow_checkpoint(path: str, cfg: WaveGlowConfig) -> dict:
     """Reference pickled-module checkpoint -> params pytree."""
     import torch
 
-    _install_glow_shims()
-    payload = torch.load(path, map_location="cpu", weights_only=False)
+    installed = _install_glow_shims()
+    try:
+        payload = torch.load(path, map_location="cpu", weights_only=False)
+    finally:
+        _remove_glow_shims(installed)
     model = payload["model"] if isinstance(payload, dict) else payload
     return import_waveglow_state_dict(model.state_dict(), cfg)

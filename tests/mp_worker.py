@@ -74,7 +74,10 @@ def tp_cfg():
 
 
 def synthetic_items(n: int = 8, d_in: int = 8, d_mel: int = 6):
-    """Deterministic variable-length (ppg, mel) pairs, same on every host."""
+    """Deterministic variable-length (ppg, mel) pairs, same on every host.
+
+    n must be BATCH_PER_SHARD * num_shards * STEPS so every shard yields
+    STEPS batches (make_batcher computes it)."""
     rng = np.random.RandomState(20260816)
     items = []
     for _ in range(n):
@@ -93,7 +96,8 @@ def make_batcher(shard: int, num_shards: int, d_in: int = 8):
     )
 
     return EpochBatcher(
-        synthetic_items(d_in=d_in), BATCH_PER_SHARD, SEED,
+        synthetic_items(n=BATCH_PER_SHARD * num_shards * STEPS, d_in=d_in),
+        BATCH_PER_SHARD, SEED,
         ppg_acoustics_collate,
         drop_last=True, shard=shard, num_shards=num_shards, pad_to=PAD_TO,
         length_fn=lambda it: (it[0].shape[0], it[1].shape[0]),
@@ -162,16 +166,20 @@ SERVE_BATCH = 4
 SERVE_T_IN = 10
 
 
-def serve_batch_host():
-    """Deterministic global serving batch (same on every host)."""
+def serve_batch_host(serve_batch: int = SERVE_BATCH):
+    """Deterministic global serving batch (same on every host).  The
+    first SERVE_BATCH rows are identical for any serve_batch, so results
+    on those rows are comparable across topologies."""
     rng = np.random.RandomState(20260817)
-    ppg = np.abs(rng.rand(SERVE_BATCH, 8, SERVE_T_IN)).astype(np.float32)
+    ppg = np.abs(
+        rng.rand(max(serve_batch, SERVE_BATCH), 8, SERVE_T_IN)
+    ).astype(np.float32)[:serve_batch]
     ppg /= ppg.sum(axis=1, keepdims=True)
-    lengths = np.full((SERVE_BATCH,), SERVE_T_IN, np.int32)
+    lengths = np.full((serve_batch,), SERVE_T_IN, np.int32)
     return ppg, lengths
 
 
-def run_serving(jax, mesh):
+def run_serving(jax, mesh, serve_batch: int = SERVE_BATCH):
     """One fused DP serving call (batched gate-stopped decode -> vocoder,
     sigma=0) over `mesh`, batch sharded on 'data'.  Returns the GLOBAL
     audio/mel_lens via per-process allgather of addressable shards —
@@ -211,12 +219,12 @@ def run_serving(jax, mesh):
         audio = waveglow_infer(wg_cfg, wg_p, mel_post, 0.0, k_wg)
         return audio, mel_lens
 
-    ppg, lengths = serve_batch_host()
+    ppg, lengths = serve_batch_host(serve_batch)
     if jax.process_count() > 1:
         # shard_batch assembles the global array from per-process LOCAL
         # rows — feed only this process's slice of the utterance batch
         # (data-axis rows are laid out in process order).
-        rows = SERVE_BATCH // jax.process_count()
+        rows = serve_batch // jax.process_count()
         lo = jax.process_index() * rows
         ppg, lengths = ppg[lo:lo + rows], lengths[lo:lo + rows]
     placed = shard_batch(mesh, (ppg, lengths))
@@ -230,7 +238,7 @@ def run_serving(jax, mesh):
     # assemble this process's rows host-side from addressable shards
     def gather(garr):
         out = np.zeros(garr.shape, garr.dtype)
-        seen = np.zeros(SERVE_BATCH, bool)
+        seen = np.zeros(serve_batch, bool)
         for shard in garr.addressable_shards:
             out[shard.index] = np.asarray(shard.data)
             seen[shard.index[0]] = True
@@ -296,8 +304,11 @@ def main():
     )
     tp_leaves, tp_treedef = flatten_params(tp_params)
 
-    # phase 3: fused DP serving call across both processes
-    audio, mel_lens, seen = run_serving(jax, make_mesh())
+    # phase 3: fused DP serving call across all processes (batch = one
+    # row per device so any process count divides evenly)
+    audio, mel_lens, seen = run_serving(
+        jax, make_mesh(), serve_batch=jax.device_count()
+    )
 
     # phase 4: preemption-guard allgather semantics
     # (train/preemption.should_stop): the exit decision is the OR of

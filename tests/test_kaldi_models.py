@@ -421,3 +421,295 @@ def test_fuzz_token_corruption_rejected(tmp_path):
         f.write(bytes(data))
     with pytest.raises(ValueError):
         read_transition_model(bad)
+
+
+# ==========================================================================
+# Golden byte-level vectors, hand-derived from the Kaldi/OpenFst format
+# specs (NOT produced by this repo's writers): kaldi/src/base/io-funcs-inl.h
+# (WriteToken = ascii + ' '; WriteBasicType<int32/float> = size byte +
+# little-endian payload; WriteIntegerVector = size byte + raw int32 count +
+# raw data), kaldi/src/hmm/transition-model.cc + hmm-topology.cc,
+# openfst/src/include/fst/fst.h (FstHeader) + vector-fst.h, and
+# kaldi/src/tree/event-map.cc + context-dep.cc.  These pin the exact wire
+# encoding independently of the write->read roundtrip tests above (a
+# matched encode/decode bug passes a roundtrip; it cannot pass these),
+# and include edge encodings the random generators never emit: the legacy
+# <Triples> table, an empty integer vector, a non-final FST state
+# (+inf tropical weight), and a negative arc weight.
+# ==========================================================================
+
+import struct as _st
+
+
+def _tok(s):           # WriteToken: ascii chars, one trailing space
+    return s.encode("ascii") + b" "
+
+
+def _i32(v):           # WriteBasicType<int32>: size byte 4 + LE payload
+    return b"\x04" + _st.pack("<i", v)
+
+
+def _f32(v):           # WriteBasicType<float>: size byte 4 + LE payload
+    return b"\x04" + _st.pack("<f", v)
+
+
+def _ivec(vals):       # WriteIntegerVector<int32>: \x04 + raw count + raw
+    return b"\x04" + _st.pack("<i", len(vals)) + _st.pack(
+        f"<{len(vals)}i", *vals) if vals else b"\x04" + _st.pack("<i", 0)
+
+
+def _golden_topology_bytes():
+    """HmmTopology::Write for two phones: phone 1 = 2-state Bakis entry
+    (emitting state 0 with self-loop + forward, final nonemitting state
+    with pdf-class -1 = kNoPdf), phone 2 = a forward-pdf != self-loop-pdf
+    entry (the chain-model two-pdf topology)."""
+    return (
+        _tok("<Topology>")
+        + _ivec([1, 2])          # phones_ (sorted)
+        + _ivec([-1, 0, 1])      # phone2idx_: phone id -> entry index
+        + _i32(2)                # entries_.size()
+        # entry 0: 2 states
+        + _i32(2)
+        + _i32(0) + _i32(0)      # state 0: fwd pdf-class 0, self-loop 0
+        + _i32(2)                # 2 transitions
+        + _i32(0) + _f32(0.5)    # self-loop
+        + _i32(1) + _f32(0.5)    # forward
+        + _i32(-1) + _i32(-1)    # state 1: nonemitting (kNoPdf)
+        + _i32(0)                # no transitions
+        # entry 1: 2 states, forward/self-loop pdf classes differ
+        + _i32(2)
+        + _i32(0) + _i32(1)      # fwd class 0, self-loop class 1
+        + _i32(1)
+        + _i32(1) + _f32(1.0)
+        + _i32(-1) + _i32(-1)
+        + _i32(0)
+        + _tok("</Topology>")
+    )
+
+
+def test_golden_transition_model_tuples():
+    """Hand-built <Tuples>-format .mdl bytes parse to the exact structure
+    (transition-model.cc TransitionModel::Write, current format)."""
+    from fac_via_ppg_tpu.frontend.kaldi_models import (
+        read_transition_model,
+    )
+
+    log_probs = [0.0, -0.1, -0.2, -0.3, -0.4]
+    data = (
+        b"\x00B"
+        + _tok("<TransitionModel>")
+        + _golden_topology_bytes()
+        + _tok("<Tuples>")
+        + _i32(3)
+        # (phone, hmm_state, forward_pdf, self_loop_pdf)
+        + _i32(1) + _i32(0) + _i32(0) + _i32(0)
+        + _i32(2) + _i32(0) + _i32(1) + _i32(2)
+        + _i32(2) + _i32(0) + _i32(3) + _i32(3)
+        + _tok("</Tuples>")
+        + _tok("<LogProbs>")
+        + _tok("FV") + _i32(5) + _st.pack("<5f", *log_probs)
+        + _tok("</LogProbs>")
+        + _tok("</TransitionModel>")
+    )
+    path = os.path.join(os.environ.get("TMPDIR", "/tmp"), "golden_tuples.mdl")
+    with open(path, "wb") as f:
+        f.write(data)
+    m = read_transition_model(path)
+    np.testing.assert_array_equal(m.topology.phones, [1, 2])
+    np.testing.assert_array_equal(m.topology.phone2idx, [-1, 0, 1])
+    assert len(m.topology.entries) == 2
+    e0, e1 = m.topology.entries
+    assert (e0[0].forward_pdf_class, e0[0].self_loop_pdf_class) == (0, 0)
+    assert e0[0].transitions == [(0, 0.5), (1, 0.5)]
+    assert (e0[1].forward_pdf_class, e0[1].self_loop_pdf_class) == (-1, -1)
+    assert e0[1].transitions == []
+    assert (e1[0].forward_pdf_class, e1[0].self_loop_pdf_class) == (0, 1)
+    assert [(t.phone, t.hmm_state, t.forward_pdf, t.self_loop_pdf)
+            for t in m.tuples] == [(1, 0, 0, 0), (2, 0, 1, 2), (2, 0, 3, 3)]
+    np.testing.assert_allclose(m.log_probs, np.float32(log_probs))
+    assert m.num_pdfs == 4
+
+
+def test_golden_transition_model_triples_legacy():
+    """The pre-2015 <Triples> table (3 ints per tuple, self_loop_pdf
+    implied == forward_pdf) — an encoding this repo's writer only emits
+    when ALL tuples are degenerate, so the roundtrip fuzzers barely touch
+    it; here the bytes are pinned directly.  Also exercises an EMPTY
+    integer vector (phone2idx edge) nothing random generates."""
+    from fac_via_ppg_tpu.frontend.kaldi_models import (
+        read_transition_model,
+    )
+
+    topo = (
+        _tok("<Topology>")
+        + _ivec([3])
+        + _ivec([-1, -1, -1, 0])
+        + _i32(1)
+        + _i32(2)
+        + _i32(0) + _i32(0)
+        + _i32(1) + _i32(1) + _f32(1.0)
+        + _i32(-1) + _i32(-1) + _i32(0)
+        + _tok("</Topology>")
+    )
+    data = (
+        b"\x00B"
+        + _tok("<TransitionModel>")
+        + topo
+        + _tok("<Triples>")
+        + _i32(2)
+        + _i32(3) + _i32(0) + _i32(0)
+        + _i32(3) + _i32(0) + _i32(1)
+        + _tok("</Triples>")
+        + _tok("<LogProbs>")
+        + _tok("FV") + _i32(0)            # empty log-prob vector
+        + _tok("</LogProbs>")
+        + _tok("</TransitionModel>")
+    )
+    path = os.path.join(os.environ.get("TMPDIR", "/tmp"), "golden_triples.mdl")
+    with open(path, "wb") as f:
+        f.write(data)
+    m = read_transition_model(path)
+    assert [(t.phone, t.forward_pdf, t.self_loop_pdf) for t in m.tuples] \
+        == [(3, 0, 0), (3, 1, 1)]
+    assert m.log_probs.shape == (0,)
+    assert m.num_pdfs == 2
+
+
+def test_golden_fst_bytes():
+    """Hand-built StdVectorFst bytes (FstHeader magic 2125659606,
+    length-prefixed type strings, i64 state/arc counts, 16-byte arcs)
+    parse exactly — including a NON-final state (+inf tropical weight)
+    and a negative arc weight."""
+    from fac_via_ppg_tpu.frontend.kaldi_models import read_fst
+
+    inf = float("inf")
+    data = (
+        _st.pack("<i", 2125659606)                      # FstHeader magic
+        + _st.pack("<i", 6) + b"vector"                 # fsttype
+        + _st.pack("<i", 8) + b"standard"               # arctype
+        + _st.pack("<ii", 2, 0)                         # version, flags
+        + _st.pack("<Qqqq", 3, 0, 2, 3)  # props, start, nstates, narcs
+        # state 0: non-final (tropical Zero = +inf), 2 arcs
+        + _st.pack("<f", inf) + _st.pack("<q", 2)
+        + _st.pack("<iifi", 3, 4, 0.5, 1)
+        + _st.pack("<iifi", 0, 0, -1.25, 0)
+        # state 1: final with weight 2.5, 1 arc
+        + _st.pack("<f", 2.5) + _st.pack("<q", 1)
+        + _st.pack("<iifi", 7, 8, 0.0, 0)
+    )
+    path = os.path.join(os.environ.get("TMPDIR", "/tmp"), "golden.fst")
+    with open(path, "wb") as f:
+        f.write(data)
+    fst = read_fst(path)
+    assert fst.start == 0 and len(fst.states) == 2
+    s0, s1 = fst.states
+    assert s0.final == inf and len(s0.arcs) == 2
+    assert (s0.arcs[0].ilabel, s0.arcs[0].olabel, s0.arcs[0].weight,
+            s0.arcs[0].nextstate) == (3, 4, 0.5, 1)
+    assert s0.arcs[1].weight == -1.25
+    assert s1.final == 2.5 and s1.arcs[0].ilabel == 7
+
+
+def test_golden_fst_embedded_symbol_tables_rejected():
+    """FstHeader flags bits 0/1 mark serialized SymbolTables between the
+    header and the states; parsing must refuse rather than misread the
+    state section."""
+    from fac_via_ppg_tpu.frontend.kaldi_models import read_fst
+
+    data = (
+        _st.pack("<i", 2125659606)
+        + _st.pack("<i", 6) + b"vector"
+        + _st.pack("<i", 8) + b"standard"
+        + _st.pack("<ii", 2, 1)                         # flags bit 0 set
+        + _st.pack("<Qqqq", 0, 0, 0, 0)
+    )
+    path = os.path.join(os.environ.get("TMPDIR", "/tmp"), "golden_sym.fst")
+    with open(path, "wb") as f:
+        f.write(data)
+    with pytest.raises(ValueError):
+        read_fst(path)
+
+
+def test_golden_context_dependency_bytes():
+    """Hand-built ContextDependency bytes (context-dep.cc Write:
+    'ContextDependency' N P 'ToPdf' EventMap 'EndContextDependency';
+    event-map.cc: SE = key + yes-set + '{' yes no '}', TE = key + size +
+    '(' children ')', CE = answer, NULL) parse to the exact tree —
+    including a NULL table slot, which the answer-set walker must skip."""
+    from fac_via_ppg_tpu.frontend.kaldi_models import (
+        read_context_dependency,
+    )
+
+    data = (
+        b"\x00B"
+        + _tok("ContextDependency")
+        + _i32(3) + _i32(1)                             # N=3, P=1
+        + _tok("ToPdf")
+        + _tok("SE") + _i32(1) + _ivec([1, 2, 3]) + _tok("{")
+        +   _tok("TE") + _i32(0) + _i32(3) + _tok("(")
+        +     _tok("NULL")
+        +     _tok("CE") + _i32(0)
+        +     _tok("CE") + _i32(1)
+        +   _tok(")")
+        +   _tok("CE") + _i32(2)
+        + _tok("}")
+        + _tok("EndContextDependency")
+    )
+    path = os.path.join(os.environ.get("TMPDIR", "/tmp"), "golden.tree")
+    with open(path, "wb") as f:
+        f.write(data)
+    tree = read_context_dependency(path)
+    assert (tree.context_width, tree.central_position) == (3, 1)
+    root = tree.to_pdf
+    assert isinstance(root, SplitEventMap) and root.key == 1
+    np.testing.assert_array_equal(root.yes_set, [1, 2, 3])
+    te = root.yes
+    assert te.key == 0 and len(te.table) == 3
+    assert te.table[0] is None
+    assert isinstance(te.table[1], ConstantEventMap)
+    assert (te.table[1].answer, te.table[2].answer) == (0, 1)
+    assert isinstance(root.no, ConstantEventMap) and root.no.answer == 2
+    assert tree.num_pdfs == 3
+
+
+def test_golden_truncations_rejected(tmp_path):
+    """Strategic truncations of the GOLDEN byte sequences (mid size-byte,
+    mid int-vector payload, mid arc record, mid token) raise clean typed
+    errors — fixed offsets, unlike the random-cut fuzzer above."""
+    import struct as _struct
+
+    from fac_via_ppg_tpu.frontend.kaldi_models import (
+        read_fst, read_transition_model,
+    )
+
+    errors = (ValueError, EOFError, _struct.error)
+    mdl = (
+        b"\x00B" + _tok("<TransitionModel>") + _golden_topology_bytes()
+        + _tok("<Tuples>") + _i32(1)
+        + _i32(1) + _i32(0) + _i32(0) + _i32(0)
+        + _tok("</Tuples>") + _tok("<LogProbs>")
+        + _tok("FV") + _i32(1) + _st.pack("<f", -0.5)
+        + _tok("</LogProbs>") + _tok("</TransitionModel>")
+    )
+    # inside marker / token / int-vector count / tuple int / FV payload
+    for cut in (1, 10, len(_tok("<TransitionModel>")) + 14,
+                len(mdl) - 40, len(mdl) - 2):
+        p = str(tmp_path / "g.mdl")
+        with open(p, "wb") as f:
+            f.write(mdl[:cut])
+        with pytest.raises(errors):
+            read_transition_model(p)
+
+    fst = (
+        _st.pack("<i", 2125659606)
+        + _st.pack("<i", 6) + b"vector" + _st.pack("<i", 8) + b"standard"
+        + _st.pack("<ii", 2, 0) + _st.pack("<Qqqq", 0, 0, 1, 1)
+        + _st.pack("<f", 0.0) + _st.pack("<q", 1)
+        + _st.pack("<iifi", 1, 1, 0.0, 0)
+    )
+    for cut in (2, 9, 25, len(fst) - 20, len(fst) - 3):
+        p = str(tmp_path / "g.fst")
+        with open(p, "wb") as f:
+            f.write(fst[:cut])
+        with pytest.raises(errors):
+            read_fst(p)

@@ -423,6 +423,74 @@ def test_zero_sharded_opt_state_matches_replicated(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_zero_sharded_opt_state_composes_with_tp(rng):
+    """ZeRO-1 x TP on a (4 data x 2 model) mesh == the TP-only step.
+
+    The moments inherit the TP 'model' split (a moment laid out
+    differently from its param forces a reshard every step) and
+    additionally shard over 'data' on an unsharded dim
+    (optimizer_state_shardings param_spec_fn).  Verifies (a) multi-step
+    param equality vs the TP run with mesh-replicated moments, (b) at
+    least one moment leaf carries BOTH axes.  Momentum-SGD for the same
+    linearity reason as the pure-ZeRO test above."""
+    if jax.device_count() < 8:
+        pytest.skip("needs an 8-device mesh")
+
+    import optax
+    from jax.sharding import PartitionSpec as P
+
+    from fac_via_ppg_tpu.parallel.mesh import normalize_tree_placement
+    from fac_via_ppg_tpu.parallel.sharding import (
+        apply_shardings,
+        optimizer_state_shardings,
+        tacotron2_param_shardings,
+        tacotron2_spec_fn,
+    )
+
+    params, state = init_tacotron2(jax.random.PRNGKey(0), CFG)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0), optax.sgd(1e-2, momentum=0.9)
+    )
+    step = make_tacotron2_train_step(CFG, optimizer, donate=False)
+    batch = _batch(rng, B=8)
+    key = jax.random.PRNGKey(2)
+
+    mesh = make_mesh(data=4, model=2)
+    sharded_batch = shard_batch(mesh, batch)
+    p_shardings = tacotron2_param_shardings(
+        mesh, params, wide_threshold=16, big_threshold=64
+    )
+
+    # TP baseline: params TP-sharded, moments inherit the param layout
+    p_t = apply_shardings(params, p_shardings)
+    s_t = replicate(mesh, state)
+    o_t = normalize_tree_placement(mesh, optimizer.init(p_t))
+
+    # ZeRO-1 x TP: same params, moments composed 'model' + 'data'
+    p_z = apply_shardings(params, p_shardings)
+    s_z = replicate(mesh, state)
+    o_z = normalize_tree_placement(mesh, optimizer.init(p_z))
+    z_shardings = optimizer_state_shardings(
+        mesh, o_z,
+        param_spec_fn=tacotron2_spec_fn(mesh, wide_threshold=16,
+                                        big_threshold=64),
+    )
+    specs = [s.spec for s in jax.tree_util.tree_leaves(z_shardings)]
+    assert any(
+        "model" in sp and "data" in sp
+        for sp in (tuple(str(e) for e in s if e is not None) for s in specs)
+    ), "no moment leaf composes both mesh axes"
+    o_z = apply_shardings(o_z, z_shardings)
+
+    for _ in range(3):
+        out_t = step(p_t, s_t, o_t, sharded_batch, key)
+        p_t, s_t, o_t = out_t.params, out_t.model_state, out_t.opt_state
+        out_z = step(p_z, s_z, o_z, sharded_batch, key)
+        p_z, s_z, o_z = out_z.params, out_z.model_state, out_z.opt_state
+    for a, b in zip(jax.tree.leaves(p_t), jax.tree.leaves(p_z)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_tacotron2_bf16_train_step(rng):
     """bf16 compute policy: float32 params/opt/BN-stats throughout, finite
     loss tracking the float32 trajectory (train/step.py compute_dtype)."""

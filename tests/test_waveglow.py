@@ -294,7 +294,8 @@ def test_int8_snr_ladder_tool(params, batch):
         wn["end"]["weight"] = 0.05 * jax.random.normal(
             sub, wn["end"]["weight"].shape, jnp.float32
         )
-    ladder = run_ladder(CFG, inf_params, spect[:1])
+    ladder = run_ladder(CFG, inf_params, spect[:1],
+                        include_tensorscale=True)
     assert {"bf16_dense", "bf16_int8", "f32_int8",
             "bf16_int8_tensorscale", "f32_int8_tensorscale"} <= set(ladder)
     for name, snr in ladder.items():
@@ -303,3 +304,36 @@ def test_int8_snr_ladder_tool(params, batch):
     assert ladder["f32_int8"] >= ladder["bf16_int8"] - 3.0
     # per-column activation scales must not be worse than per-tensor
     assert ladder["f32_int8"] >= ladder["f32_int8_tensorscale"] - 0.5
+    # the tensorscale rungs are opt-in (each is a full-program compile)
+    fast = run_ladder(CFG, inf_params, spect[:1])
+    assert "bf16_int8_tensorscale" not in fast
+
+
+def test_int8_snr_detailed_and_fallback(params, batch):
+    """Per-utterance worst-case SNR + the automatic dense fallback
+    (select_cond_impl): the quality gate is judged on the worst
+    utterance, and an out-of-budget deployment degrades to dense."""
+    from fac_via_ppg_tpu.eval.int8_snr import run_ladder, select_cond_impl
+
+    spect, _ = batch
+    inf_params = remove_weightnorm(params)
+    k = jax.random.PRNGKey(3)
+    for wn in inf_params["wn"]:
+        k, sub = jax.random.split(k)
+        wn["end"]["weight"] = 0.05 * jax.random.normal(
+            sub, wn["end"]["weight"].shape, jnp.float32
+        )
+    ladder = run_ladder(CFG, inf_params, spect[:2], detailed=True)
+    for name, entry in ladder.items():
+        assert len(entry["per_utt_db"]) == 2, (name, entry)
+        assert entry["worst_utt_db"] == min(entry["per_utt_db"])
+        # the batch-aggregate SNR can't be below the worst utterance
+        assert entry["db"] >= entry["worst_utt_db"] - 0.1, (name, entry)
+
+    # a permissive budget keeps int8; an absurd one falls back to dense
+    impl, worst = select_cond_impl(CFG, inf_params, spect[:2],
+                                   budget_db=10.0)
+    assert impl == "int8" and np.isfinite(worst)
+    impl2, worst2 = select_cond_impl(CFG, inf_params, spect[:2],
+                                     budget_db=1e9)
+    assert impl2 == "dense" and worst2 == worst
