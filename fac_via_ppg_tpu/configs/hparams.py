@@ -165,6 +165,11 @@ _TPU_EXTENSIONS: Dict[str, Any] = {
     # Pad batches to length buckets of this granularity to bound the number
     # of distinct compiled shapes (XLA traces once per shape).
     "length_bucket_size": 128,
+    # Featurize the training corpus on DEVICE (batched MFCC->CMN->splice->
+    # LDA->TDNN in one jitted program, frontend/ppg.DeviceFeaturizer)
+    # instead of the host-numpy per-utterance path.  Same outputs to 1e-6
+    # (dither off) — throughput comparison in docs/PERF.md.
+    "featurize_device": False,
     # jax.profiler trace dir ("" disables).
     "profile_dir": "",
 }

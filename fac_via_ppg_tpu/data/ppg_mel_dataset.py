@@ -124,9 +124,31 @@ class PPGMelDataset:
             self.acoustic_sequences = data[1]
         else:
             self.ppg_deps = deps if deps is not None else DependenciesPPG()
-            for path in self.data_utterance_paths:
+            ppg_cache = None
+            if getattr(hparams, "featurize_device", False):
+                # batched device featurization: one jitted
+                # MFCC->CMN->splice->LDA->TDNN program over padded
+                # utterance buckets (frontend/ppg.DeviceFeaturizer)
+                # instead of the host-numpy per-utterance loop
+                from fac_via_ppg_tpu.frontend import feat as feat_mod2
+                from fac_via_ppg_tpu.frontend.ppg import DeviceFeaturizer
+
+                featurizer = DeviceFeaturizer(self.ppg_deps)
+                wavs, rates = [], set()
+                for path in self.data_utterance_paths:
+                    fs, wav = feat_mod2.read_wav(path)
+                    rates.add(fs)
+                    wavs.append(wav)
+                if len(rates) > 1:
+                    raise ValueError(
+                        f"mixed corpus sample rates {sorted(rates)}"
+                    )
+                ppg_cache = featurizer(wavs, rates.pop())
+            for i, path in enumerate(self.data_utterance_paths):
                 ppg_feat, acoustic = self.extract_utterance_feats(
-                    path, self.is_full_ppg
+                    path, self.is_full_ppg,
+                    precomputed_ppg=(None if ppg_cache is None
+                                     else ppg_cache[i]),
                 )
                 self.ppg_sequences.append(ppg_feat.astype(np.float32))
                 self.acoustic_sequences.append(acoustic)
@@ -135,8 +157,12 @@ class PPGMelDataset:
             with open(self.feats_cache_path, "wb") as f:
                 pickle.dump([self.ppg_sequences, self.acoustic_sequences], f)
 
-    def extract_utterance_feats(self, path: str, is_full_ppg=False):
-        """wav file -> (PPG, mel) (reference data_utils.py:215-258)."""
+    def extract_utterance_feats(self, path: str, is_full_ppg=False,
+                                precomputed_ppg=None):
+        """wav file -> (PPG, mel) (reference data_utils.py:215-258).
+
+        `precomputed_ppg` skips the per-utterance host featurization
+        (the device-batched path computes all PPGs up front)."""
         fs, wav = feat_mod.read_wav(path)
         if fs != self.stft.sampling_rate:
             raise ValueError(
@@ -144,7 +170,8 @@ class PPGMelDataset:
                     fs, self.stft.sampling_rate
                 )
             )
-        ppg = get_ppg(path, self.ppg_deps)
+        ppg = (precomputed_ppg if precomputed_ppg is not None
+               else get_ppg(path, self.ppg_deps))
 
         audio_norm = (
             np.asarray(wav, dtype=np.float32) / self.max_wav_value

@@ -102,3 +102,23 @@ def test_cache_roundtrip(corpus):
             load_feats_from_disk=True, feats_cache_path=cache,
         )
         PPGMelDataset(filelist, create_and_fail)
+
+
+def test_featurize_device_flag(corpus):
+    """hparams.featurize_device preloads PPGs through the batched device
+    featurizer; shapes and the monophone/F0 plumbing must match the host
+    path (values differ only in dither noise, same spec)."""
+    filelist, deps, _ = corpus
+    hp_host = create_hparams(training_files=filelist)
+    hp_dev = create_hparams(training_files=filelist, featurize_device=True)
+    ds_host = PPGMelDataset(filelist, hp_host, deps=deps)
+    ds_dev = PPGMelDataset(filelist, hp_dev, deps=deps)
+    assert len(ds_dev) == len(ds_host)
+    for i in range(len(ds_dev)):
+        ppg_h, mel_h = ds_host[i]
+        ppg_d, mel_d = ds_dev[i]
+        assert ppg_d.shape == ppg_h.shape
+        np.testing.assert_array_equal(mel_d, mel_h)
+        # posteriors on the same utterance: dither-level agreement
+        assert np.abs(ppg_d - ppg_h).max() < 0.2
+        np.testing.assert_allclose(ppg_d.sum(axis=1), 1.0, atol=1e-3)

@@ -444,3 +444,62 @@ def test_reference_wav_fixtures_first_channel():
     assert feats.shape[1] == 13
     shift = opts.frame_opts.frame_shift_ms / 1000.0
     assert feats.shape[0] == int(round(len(mono) / (fs_m * shift)))
+
+
+# --------------------------------------------------------------------------
+# DeviceFeaturizer: batched device featurization (hparams.featurize_device)
+# --------------------------------------------------------------------------
+
+def test_device_featurizer_matches_host_path(tmp_path):
+    """The batched device MFCC->CMN->splice->LDA->TDNN program must equal
+    the host per-utterance path (reference compute_ppg.py:98-136
+    semantics) to float tolerance, including ragged lengths across one
+    padded bucket and the per-utterance Kaldi edge reflection."""
+    from fac_via_ppg_tpu.frontend.ppg import (
+        DependenciesPPG,
+        DeviceFeaturizer,
+        compute_full_ppg_wrapper,
+    )
+    from fac_via_ppg_tpu.scripts.make_substitute_am import make_bundle
+
+    bundle = tmp_path / "bundle"
+    make_bundle(str(bundle), n_senones=24, n_phones=6, hidden_dim=8,
+                num_layers=1)
+    deps = DependenciesPPG(
+        nnet_path=str(bundle / "am" / "final.raw.txt"),
+        lda_path=str(bundle / "feats" / "final.mat"),
+        reduce_dim_path=str(bundle / "feats" / "reduce_dim.mat"),
+        splice_opts_path=str(bundle / "feats" / "splice_opts"),
+    )
+    rng = np.random.RandomState(3)
+    wavs = [(rng.randn(int(16000 * s)) * 3000).astype(np.float64)
+            for s in (0.61, 0.40, 0.83)]
+    host = [compute_full_ppg_wrapper(w, 16000, deps.nnet, deps.lda, 10,
+                                     dither=0.0) for w in wavs]
+    dev = DeviceFeaturizer(deps, dither=0.0)(wavs, 16000)
+    assert [d.shape for d in dev] == [h.shape for h in host]
+    for h, d in zip(host, dev):
+        np.testing.assert_allclose(d, h, atol=5e-5)
+        # posteriors: rows still sum to 1
+        np.testing.assert_allclose(d.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_featurize_bench_harness(tmp_path):
+    """eval/featurize_bench runs end-to-end and reports both paths (the
+    PERF.md throughput number comes from this harness on the real chip)."""
+    from fac_via_ppg_tpu.eval.featurize_bench import run_bench
+    from fac_via_ppg_tpu.frontend.ppg import DependenciesPPG
+    from fac_via_ppg_tpu.scripts.make_substitute_am import make_bundle
+
+    bundle = tmp_path / "bundle"
+    make_bundle(str(bundle), n_senones=24, n_phones=6, hidden_dim=8,
+                num_layers=1)
+    deps = DependenciesPPG(
+        nnet_path=str(bundle / "am" / "final.raw.txt"),
+        lda_path=str(bundle / "feats" / "final.mat"),
+        reduce_dim_path=str(bundle / "feats" / "reduce_dim.mat"),
+        splice_opts_path=str(bundle / "feats" / "splice_opts"),
+    )
+    out = run_bench(n_utts=4, seconds=0.5, deps=deps)
+    assert out["host_utts_per_s"] > 0 and out["device_utts_per_s"] > 0
+    assert out["max_abs_err"] < 5e-5
