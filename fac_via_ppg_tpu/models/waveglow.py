@@ -258,6 +258,38 @@ def pack_waveglow_int8cond(cfg: WaveGlowConfig, params: dict) -> list:
     return packed
 
 
+def _cond_all(cfg: WaveGlowConfig, wn: dict, spect_grouped: jnp.ndarray,
+              cond_int8, out_dtype) -> jnp.ndarray:
+    """All wn_n_layers cond projections as ONE stacked (B, L*2C, G) matmul
+    over the grouped spect (dense or int8 MXU) — spect is constant across
+    the layer loop, so this hoists the reference's per-layer cond conv
+    (glow.py:158-162) out of it."""
+    if cond_int8 is not None:
+        sq, s_scale, pk = cond_int8
+        acc = jnp.einsum(
+            "oc,bcg->bog", pk["wq"], sq,
+            preferred_element_type=jnp.int32,
+        )
+        # s_scale: scalar (per-tensor) or (B, G) (per-column); either way
+        # it sits outside the contracted axis so dequant is exact.
+        s_bcast = (s_scale if jnp.ndim(s_scale) == 0
+                   else s_scale[:, None, :])
+        return (
+            acc.astype(jnp.float32)
+            * s_bcast * pk["w_scale"][None, :, None]
+            + pk["bias"][None, :, None]
+        ).astype(out_dtype)
+    # Stack cond layers: (L*2C, 640, 1) applied once -> split per layer.
+    cond_w = jnp.concatenate(
+        [_weight_norm_fold(p)["weight"] if "v" in p else p["weight"]
+         for p in wn["cond_layers"]], axis=0,
+    )
+    cond_b = jnp.concatenate(
+        [p["bias"] for p in wn["cond_layers"]], axis=0
+    )
+    return conv1d_apply({"weight": cond_w, "bias": cond_b}, spect_grouped)
+
+
 def wn_apply(cfg: WaveGlowConfig, wn: dict, audio_half: jnp.ndarray,
              spect_grouped: jnp.ndarray, cond_int8=None) -> jnp.ndarray:
     """(B, n_half, T) x (B, 640, T) -> (B, 2*n_half, T) coupling output.
@@ -272,34 +304,7 @@ def wn_apply(cfg: WaveGlowConfig, wn: dict, audio_half: jnp.ndarray,
     """
     C = cfg.wn_n_channels
     audio = _wn_conv_apply(wn["start"], audio_half)
-
-    if cond_int8 is not None:
-        sq, s_scale, pk = cond_int8
-        acc = jnp.einsum(
-            "oc,bcg->bog", pk["wq"], sq,
-            preferred_element_type=jnp.int32,
-        )
-        # s_scale: scalar (per-tensor) or (B, G) (per-column); either way
-        # it sits outside the contracted axis so dequant is exact.
-        s_bcast = (s_scale if jnp.ndim(s_scale) == 0
-                   else s_scale[:, None, :])
-        cond_all = (
-            acc.astype(jnp.float32)
-            * s_bcast * pk["w_scale"][None, :, None]
-            + pk["bias"][None, :, None]
-        ).astype(audio.dtype)
-    else:
-        # Stack cond layers: (L*2C, 640, 1) applied once -> split per layer.
-        cond_w = jnp.concatenate(
-            [_weight_norm_fold(p)["weight"] if "v" in p else p["weight"]
-             for p in wn["cond_layers"]], axis=0,
-        )
-        cond_b = jnp.concatenate(
-            [p["bias"] for p in wn["cond_layers"]], axis=0
-        )
-        cond_all = conv1d_apply(
-            {"weight": cond_w, "bias": cond_b}, spect_grouped
-        )
+    cond_all = _cond_all(cfg, wn, spect_grouped, cond_int8, audio.dtype)
     cond_per_layer = jnp.split(cond_all, cfg.wn_n_layers, axis=1)
 
     output = None
@@ -415,6 +420,56 @@ def wn_apply_pallas(cfg: WaveGlowConfig, packed: dict,
         + packed["end_b"]
     ).astype(dt)
     return out[:, :T].transpose(0, 2, 1)
+
+
+# --------------------------------------------------------------------------
+# Cross-layer Pallas flow kernel path (ops/wn_flow_pallas.py): the whole
+# 8-layer WN residual chain in VMEM per time-tile
+# --------------------------------------------------------------------------
+
+def pack_waveglow_flow(cfg: WaveGlowConfig, params: dict,
+                       dtype=None) -> list:
+    """Precompute every flow's packed kernel weights ONCE (outside jit).
+    `dtype` casts the matmul weights (e.g. bf16 serving); biases stay
+    f32 (they add into the kernel's f32 accumulators)."""
+    from fac_via_ppg_tpu.ops.wn_flow_pallas import cast_pack, pack_wn_flow
+
+    fold = lambda p: _weight_norm_fold(p) if "v" in p else p  # noqa: E731
+    packs = []
+    for wn in params["wn"]:
+        folded = {
+            "start": fold(wn["start"]),
+            "end": wn["end"],
+            "in_layers": [fold(p) for p in wn["in_layers"]],
+            "res_skip_layers": [fold(p) for p in wn["res_skip_layers"]],
+        }
+        pk = pack_wn_flow(folded, cfg.wn_n_layers)
+        packs.append(pk if dtype is None else cast_pack(pk, dtype))
+    return packs
+
+
+def wn_apply_flow(cfg: WaveGlowConfig, wn: dict, flow_pack: dict,
+                  audio_half: jnp.ndarray, spect_g_padded: jnp.ndarray,
+                  t_valid: int, cond_int8=None, tile: int = 4096,
+                  interpret: bool = False) -> jnp.ndarray:
+    """`wn_apply` on the cross-layer Pallas kernel.
+
+    `spect_g_padded` is the grouped spect in padded time coordinates
+    (pad_time_for_flow over t_pad/halo from flow_buf_geometry) — shared
+    across all 12 flows; the cond projection runs over it (dense or int8)
+    so the kernel's conditioning windows line up without re-padding the
+    (much larger) cond tensor."""
+    from fac_via_ppg_tpu.ops.wn_flow_pallas import wn_flow_pallas
+
+    n_half = audio_half.shape[1]
+    cond_padded = _cond_all(
+        cfg, wn, spect_g_padded, cond_int8, audio_half.dtype
+    )
+    out = wn_flow_pallas(
+        flow_pack, audio_half, cond_padded, cfg.wn_n_layers, t_valid,
+        tile=tile, interpret=interpret,
+    )
+    return out[:, : 2 * n_half, :t_valid]
 
 
 # ==========================================================================
@@ -556,7 +611,8 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
                    wn_impl: str = "xla", packed_wn=None,
                    cond_impl: str = "dense",
                    packed_cond=None,
-                   cond_quant: str = "column") -> jnp.ndarray:
+                   cond_quant: str = "column",
+                   flow_tile: int = 4096) -> jnp.ndarray:
     """(B, 80, F) mel -> (B, T) audio (reference glow.py:252-293).
 
     `params` should be the remove_weightnorm form; the train form also works
@@ -575,9 +631,13 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
     that lets parity tests feed the exact z the reference torch model drew.
 
     `wn_impl` selects the coupling-network implementation: 'xla' (default,
-    conv formulation), 'pallas' (fused VMEM layer kernel, ops/wn_pallas.py
-    — budget the one-off Mosaic compile per dilation variant), or
-    'pallas_interpret' (kernel semantics on the CPU interpreter, tests).
+    conv formulation), 'flow' (cross-layer Pallas kernel — the whole WN
+    residual chain in VMEM per time-tile, ops/wn_flow_pallas.py; one
+    Mosaic compile serves all flows; `flow_tile` sets the time tile),
+    'pallas' (the round-2 per-layer VMEM kernel, ops/wn_pallas.py —
+    budget the one-off Mosaic compile per dilation variant), or
+    'flow_interpret' / 'pallas_interpret' (kernel semantics on the CPU
+    interpreter, tests).
 
     `cond_impl='int8'` (xla path only) runs the stacked cond matmuls on
     the int8 MXU: the grouped spect quantizes ONCE per call (dynamic,
@@ -618,17 +678,33 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
 
     audio = (sigma * draw((B, n_remaining, G))).astype(spect_g.dtype)
 
-    if wn_impl not in ("xla", "pallas", "pallas_interpret"):
+    if wn_impl not in ("xla", "flow", "flow_interpret", "pallas",
+                       "pallas_interpret"):
         raise ValueError(f"unknown wn_impl {wn_impl!r}")
     if cond_impl not in ("dense", "int8"):
         raise ValueError(f"unknown cond_impl {cond_impl!r}")
+    is_flow = wn_impl in ("flow", "flow_interpret")
     packed = None
-    if wn_impl != "xla":
+    if wn_impl in ("pallas", "pallas_interpret"):
         if cond_impl != "dense":
-            raise ValueError("cond_impl='int8' requires wn_impl='xla'")
+            raise ValueError("cond_impl='int8' requires wn_impl xla/flow")
         # prefer a caller-precomputed pack (pack_waveglow_pallas) so the
         # fold/transpose work stays out of the per-call path
         packed = packed_wn or pack_waveglow_pallas(cfg, params)
+    flow_packs = spect_g_pad = None
+    t_valid = G
+    if is_flow:
+        from fac_via_ppg_tpu.ops.wn_flow_pallas import (
+            flow_buf_geometry,
+            pad_time_for_flow,
+        )
+
+        flow_packs = packed_wn or pack_waveglow_flow(cfg, params)
+        t_pad, halo, _ = flow_buf_geometry(G, flow_tile, cfg.wn_n_layers)
+        # one shared time-padded spect: the per-flow cond projections run
+        # over it so the kernel windows line up without re-padding the
+        # 8x larger cond tensor (ops/wn_flow_pallas.py docstring)
+        spect_g_pad = pad_time_for_flow(spect_g, t_pad, halo)
     cond_q = None
     if cond_impl == "int8":
         if cond_quant not in ("column", "tensor"):
@@ -638,9 +714,10 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
         # per (batch, position) column — exact dequant, locally adaptive
         # step size (quantize_per_column_int8).  cond_quant='tensor' keeps
         # the per-tensor scale for A/B measurement (eval/int8_snr).
-        sq, s_scale = (quantize_per_column_int8(spect_g)
+        q_src = spect_g_pad if is_flow else spect_g
+        sq, s_scale = (quantize_per_column_int8(q_src)
                        if cond_quant == "column"
-                       else quantize_per_tensor_int8(spect_g))
+                       else quantize_per_tensor_int8(q_src))
         cond_q = (sq, s_scale, pack_c)
 
     for k in reversed(range(cfg.n_flows)):
@@ -652,6 +729,15 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
             wn_out = wn_apply_pallas(
                 cfg, packed[k], audio_0, spect_g,
                 interpret=(wn_impl == "pallas_interpret"),
+            )
+        elif is_flow:
+            wn_out = wn_apply_flow(
+                cfg, params["wn"][k], flow_packs[k], audio_0,
+                spect_g_pad, t_valid,
+                cond_int8=(None if cond_q is None
+                           else (cond_q[0], cond_q[1], cond_q[2][k])),
+                tile=flow_tile,
+                interpret=(wn_impl == "flow_interpret"),
             )
         else:
             wn_out = wn_apply(

@@ -14,20 +14,27 @@ by keeping the WHOLE 8-layer WN residual chain in VMEM per time-tile:
     skip accumulator         8 round-trips            1 write (via end conv)
 
 Layout is channels-first (C sublanes, time lanes) so the dilated-conv
-shifts are LANE rotates (`pltpu.roll`), which Mosaic supports at every
+shifts are static LANE-offset slices, which Mosaic compiles at every
 dilation — the round-2 per-layer kernel (ops/wn_pallas.py) was stuck on
 sublane-misaligned shifts in its channels-last layout and lost end-to-end.
+(`pltpu.roll` was bisected on this chip: it fails Mosaic compilation for
+bf16 operands, so the residual stream instead carries a `guard`-lane
+band on each side and every shifted read is an in-bounds static slice.)
 One Mosaic compile serves all 12 flows: the inner WN shapes are
 flow-independent (C=256), and the flow-dependent start/end projections are
 zero-padded to a common `p_ch` channel count.
 
 Overlap-save tiling: each (batch, tile) kernel instance computes on a
-`tile + 2*halo` window where `halo >= sum(dilations) = 2**n_layers - 1`;
-wrap-around garbage from the rolls and stale halo values stay confined to
-the discarded halo (garbage spreads by exactly the cumulative dilation),
-and zero-masking the residual stream at every layer reproduces the XLA
-conv path's zero padding at the sequence edges.  Per-layer conditioning
-tiles are double-buffered HBM->VMEM DMAs overlapped with the matmuls.
+`tile + 2*halo` window where `halo >= sum(dilations) = 2**n_layers - 1`,
+carried inside a `tile + 2*(halo + guard)` residual buffer
+(`guard >= max dilation`, lane-aligned).  The guard lanes never receive
+residual updates, so they and the buffer edges hold stale values — but
+staleness spreads inward by exactly one dilation per layer, reaching at
+most `guard + sum(dilations) < guard + halo`, one lane short of the
+interior.  Zero-masking the residual stream at every layer reproduces
+the XLA conv path's zero padding at the sequence edges.  Per-layer
+conditioning tiles are double-buffered HBM->VMEM DMAs overlapped with
+the matmuls.
 
 Reference being re-designed: the WN hot loop, glow.py:133-152 (CUDA/torch
 runs it layer-by-layer with every intermediate in global memory).
@@ -48,27 +55,23 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def flow_buf_geometry(t: int, tile: int, n_layers: int) -> Tuple[int, int]:
-    """(t_pad, halo): padded time extent and per-side halo for the
-    overlap-save tiling.  halo covers the cumulative receptive-field
-    growth of the layer stack (sum of dilations), rounded to lane
-    alignment."""
+def flow_buf_geometry(t: int, tile: int,
+                      n_layers: int) -> Tuple[int, int, int]:
+    """(t_pad, halo, guard) for the overlap-save tiling.
+
+    `halo` covers the cumulative receptive-field growth of the layer
+    stack (sum of dilations); `guard` covers the largest single-layer
+    shift (max dilation) so every shifted read of the residual buffer is
+    an in-bounds static lane slice.  Both are lane-aligned."""
     if tile % 128:
         raise ValueError(f"tile={tile} must be a multiple of 128 lanes")
     halo = _cdiv(2 ** n_layers - 1, 128) * 128
+    guard = _cdiv(2 ** (n_layers - 1), 128) * 128
     t_pad = _cdiv(t, tile) * tile
-    return t_pad, halo
+    return t_pad, halo, guard
 
 
-def _roll(x, shift, interpret):
-    # pltpu.roll wants a positive static shift; jnp.roll keeps interpret
-    # mode (CPU) independent of the Mosaic lowering.
-    if interpret:
-        return jnp.roll(x, shift, axis=1)
-    return pltpu.roll(x, shift % x.shape[1], 1)
-
-
-def _wn_flow_kernel(nl, tile, lbuf, halo, c, p_ch, t_total, interpret,
+def _wn_flow_kernel(nl, tile, lbuf, halo, guard, c, p_ch, t_total,
                     a_hbm, cond_hbm,
                     w_start_ref, b_start_ref, w_in_ref, b_in_ref,
                     w_rs_ref, b_rs_ref, w_end_ref, b_end_ref,
@@ -78,9 +81,10 @@ def _wn_flow_kernel(nl, tile, lbuf, halo, c, p_ch, t_total, interpret,
     t = pl.program_id(1)
     f32 = jnp.float32
     dn = (((1,), (0,)), ((), ()))  # (m, k) @ (k, n)
+    w = lbuf + 2 * guard  # residual-buffer width (x coordinates)
 
     cp_a = pltpu.make_async_copy(
-        a_hbm.at[b, :, pl.ds(t * tile, lbuf)], a_buf, sems.at[2]
+        a_hbm.at[b, :, pl.ds(t * tile, w)], a_buf, sems.at[2]
     )
     cp_a.start()
 
@@ -94,10 +98,11 @@ def _wn_flow_kernel(nl, tile, lbuf, halo, c, p_ch, t_total, interpret,
 
     cond_dma(0, 0).start()
 
-    # buffer column j holds global sample t*tile - halo + j; zero-mask
-    # out-of-sequence columns to reproduce conv zero padding
-    pos = (t * tile - halo) + jax.lax.broadcasted_iota(
-        jnp.int32, (1, lbuf), 1
+    # residual-buffer column j holds global sample
+    # t*tile - halo - guard + j; zero-mask out-of-sequence columns to
+    # reproduce conv zero padding
+    pos = (t * tile - halo - guard) + jax.lax.broadcasted_iota(
+        jnp.int32, (1, w), 1
     )
     mask = jnp.logical_and(pos >= 0, pos < t_total)
 
@@ -109,6 +114,7 @@ def _wn_flow_kernel(nl, tile, lbuf, halo, c, p_ch, t_total, interpret,
     )
     x = ((x0 + b_start_ref[:].astype(f32)[:, None]).astype(dt)) * m
 
+    zeros_g = jnp.zeros((c, guard), dt)
     skip = jnp.zeros((c, lbuf), dt)
     for l in range(nl):
         d = 1 << l
@@ -117,22 +123,25 @@ def _wn_flow_kernel(nl, tile, lbuf, halo, c, p_ch, t_total, interpret,
         cond_dma(l % 2, l).wait()
         cond = cond_buf[l % 2]
 
-        xm = _roll(x, d, interpret)   # xm[:, p] = x[:, p - d]
-        xp = _roll(x, -d, interpret)  # xp[:, p] = x[:, p + d]
+        # three static lane-offset views of the residual buffer; z
+        # column j' is x column guard + j'
+        def view(off):
+            return jax.lax.slice(x, (0, guard + off),
+                                 (c, guard + off + lbuf))
 
         # gate halves separately: the (2C, lbuf) pre-activation never
         # exists, halving the live f32 footprint
         def half(lo):
             z = jax.lax.dot_general(
-                w_in_ref[l, 0, lo:lo + c, :], xm, dn,
+                w_in_ref[l, 0, lo:lo + c, :], view(-d), dn,
                 preferred_element_type=f32,
             )
             z += jax.lax.dot_general(
-                w_in_ref[l, 1, lo:lo + c, :], x, dn,
+                w_in_ref[l, 1, lo:lo + c, :], view(0), dn,
                 preferred_element_type=f32,
             )
             z += jax.lax.dot_general(
-                w_in_ref[l, 2, lo:lo + c, :], xp, dn,
+                w_in_ref[l, 2, lo:lo + c, :], view(d), dn,
                 preferred_element_type=f32,
             )
             z += b_in_ref[l, lo:lo + c].astype(f32)[:, None]
@@ -143,9 +152,13 @@ def _wn_flow_kernel(nl, tile, lbuf, halo, c, p_ch, t_total, interpret,
         rs = jax.lax.dot_general(
             w_rs_ref[l], acts, dn, preferred_element_type=f32
         ) + b_rs_ref[l].astype(f32)[:, None]
-        # bf16 adds, like the XLA path (conv f32-accum -> cast -> add)
+        # bf16 adds, like the XLA path (conv f32-accum -> cast -> add);
+        # the guard lanes go stale here — see the module docstring
         if l + 1 < nl:
-            x = (x + rs[:c].astype(dt)) * m
+            res = jnp.concatenate(
+                [zeros_g, rs[:c].astype(dt), zeros_g], axis=1
+            )
+            x = (x + res) * m
         skip = skip + rs[c:].astype(dt)
 
     out = jax.lax.dot_general(
@@ -174,14 +187,16 @@ def wn_flow_pallas(
     B, n_half, T = audio_half.shape
     if T != t_valid:
         raise ValueError(f"audio_half time {T} != t_valid {t_valid}")
-    t_pad, halo = flow_buf_geometry(t_valid, tile, n_layers)
+    t_pad, halo, guard = flow_buf_geometry(t_valid, tile, n_layers)
     lbuf = tile + 2 * halo
     c = packed["w_rs"].shape[2]
     p_ch = packed["w_start"].shape[1]
 
-    a_pad = jnp.zeros((B, p_ch, t_pad + 2 * halo), audio_half.dtype)
+    a_pad = jnp.zeros(
+        (B, p_ch, t_pad + 2 * (halo + guard)), audio_half.dtype
+    )
     a_pad = jax.lax.dynamic_update_slice(
-        a_pad, audio_half, (0, 0, halo)
+        a_pad, audio_half, (0, 0, halo + guard)
     )
 
     if cond_padded.shape[2] != t_pad + 2 * halo:
@@ -192,8 +207,8 @@ def wn_flow_pallas(
 
     grid = (B, t_pad // tile)
     kernel = functools.partial(
-        _wn_flow_kernel, n_layers, tile, lbuf, halo, c, p_ch, t_valid,
-        interpret,
+        _wn_flow_kernel, n_layers, tile, lbuf, halo, guard, c, p_ch,
+        t_valid,
     )
     wspec = lambda *shape: pl.BlockSpec(  # noqa: E731
         shape, lambda b, t: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -202,8 +217,8 @@ def wn_flow_pallas(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # a_pad (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # cond (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),  # a_pad (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),  # cond (manual DMA)
             wspec(*packed["w_start"].shape),
             wspec(*packed["b_start"].shape),
             wspec(*packed["w_in"].shape),
@@ -219,7 +234,7 @@ def wn_flow_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((B, p_ch, t_pad), audio_half.dtype),
         scratch_shapes=[
-            pltpu.VMEM((p_ch, lbuf), audio_half.dtype),      # a window
+            pltpu.VMEM((p_ch, lbuf + 2 * guard), audio_half.dtype),
             pltpu.VMEM((2, 2 * c, lbuf), audio_half.dtype),  # cond slots
             pltpu.SemaphoreType.DMA((3,)),
         ],
