@@ -19,7 +19,7 @@ Additional configs (one JSON line each; numbers recorded in docs/PERF.md):
   python bench.py --config e2e        # BASELINE config 1: single-utterance
                                       # wav -> PPG -> mel -> wav latency
   python bench.py --config streaming  # BASELINE config 5: streaming AC
-  python bench.py --wn_impl pallas    # rtf with the fused Pallas WN kernel
+  python bench.py --wn_impl flow      # rtf with the cross-layer Pallas flow kernel
 """
 
 from __future__ import annotations
@@ -47,9 +47,10 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
     cfg = WaveGlowConfig()
     sr = 16000
     n_frames = int(seconds * sr) // cfg.hop_length
-    if wn_impl != "xla" and cond_impl != "dense":
-        # the pallas WN path has no int8 cond variant — fall back rather
-        # than abort the whole bench on the flag combination
+    if wn_impl.startswith("pallas") and cond_impl != "dense":
+        # the per-layer pallas WN path has no int8 cond variant — fall
+        # back rather than abort the whole bench on the flag combination
+        # (the cross-layer 'flow' kernel DOES compose with int8)
         cond_impl = "dense"
 
     key = jax.random.PRNGKey(0)
@@ -63,7 +64,11 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
     # block_until_ready alone has been observed returning before execution
     # completes, which would inflate the result.
     packed_wn = None
-    if wn_impl != "xla":
+    if wn_impl == "flow":
+        from fac_via_ppg_tpu.models.waveglow import pack_waveglow_flow
+
+        packed_wn = pack_waveglow_flow(cfg, params)
+    elif wn_impl != "xla":
         from fac_via_ppg_tpu.models.waveglow import pack_waveglow_pallas
 
         packed_wn = pack_waveglow_pallas(cfg, params)
@@ -560,7 +565,7 @@ if __name__ == "__main__":
                                  "streaming_fused", "train_ppg2mel",
                                  "train_waveglow"])
     parser.add_argument("--wn_impl", default="xla",
-                        choices=["xla", "pallas"])
+                        choices=["xla", "pallas", "flow"])
     parser.add_argument("--cond_impl", default="int8",
                         choices=["dense", "int8"],
                         help="int8 (default): stacked cond matmuls on the "

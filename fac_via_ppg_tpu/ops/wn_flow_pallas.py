@@ -72,11 +72,12 @@ def flow_buf_geometry(t: int, tile: int,
 
 
 def _wn_flow_kernel(nl, tile, lbuf, halo, guard, c, p_ch, t_total,
+                    tap_concat,
                     a_hbm, cond_hbm,
                     w_start_ref, b_start_ref, w_in_ref, b_in_ref,
                     w_rs_ref, b_rs_ref, w_end_ref, b_end_ref,
                     out_ref,
-                    a_buf, cond_buf, sems):
+                    a_buf, cond_buf, cat_buf, sems):
     b = pl.program_id(0)
     t = pl.program_id(1)
     f32 = jnp.float32
@@ -129,26 +130,45 @@ def _wn_flow_kernel(nl, tile, lbuf, halo, guard, c, p_ch, t_total,
             return jax.lax.slice(x, (0, guard + off),
                                  (c, guard + off + lbuf))
 
-        # gate halves separately: the (2C, lbuf) pre-activation never
-        # exists, halving the live f32 footprint
-        def half(lo):
+        if tap_concat:
+            # ONE (2C, 3C) @ (3C, lbuf) MXU op per layer: the K=3C
+            # contraction keeps the systolic array busy across all three
+            # taps instead of three shallow-K dispatches (measured: the
+            # split form ran at ~46% MXU efficiency).  The taps are
+            # staged through a VMEM scratch — Mosaic rejects a direct
+            # sublane concat of lane-misaligned slices (bisected; the
+            # scratch round-trip compiles and is VMEM-bandwidth noise).
+            cat_buf[0:c] = view(-d)
+            cat_buf[c:2 * c] = view(0)
+            cat_buf[2 * c:3 * c] = view(d)
             z = jax.lax.dot_general(
-                w_in_ref[l, 0, lo:lo + c, :], view(-d), dn,
-                preferred_element_type=f32,
+                w_in_ref[l], cat_buf[:], dn, preferred_element_type=f32,
             )
-            z += jax.lax.dot_general(
-                w_in_ref[l, 1, lo:lo + c, :], view(0), dn,
-                preferred_element_type=f32,
-            )
-            z += jax.lax.dot_general(
-                w_in_ref[l, 2, lo:lo + c, :], view(d), dn,
-                preferred_element_type=f32,
-            )
-            z += b_in_ref[l, lo:lo + c].astype(f32)[:, None]
-            z += cond[lo:lo + c].astype(f32)
-            return z
+            z += b_in_ref[l].astype(f32)[:, None]
+            z += cond.astype(f32)
+            acts = (jnp.tanh(z[:c]) * jax.nn.sigmoid(z[c:])).astype(dt)
+        else:
+            # gate halves separately: the (2C, lbuf) pre-activation never
+            # exists, halving the live f32 footprint
+            def half(lo):
+                z = jax.lax.dot_general(
+                    w_in_ref[l, 0, lo:lo + c, :], view(-d), dn,
+                    preferred_element_type=f32,
+                )
+                z += jax.lax.dot_general(
+                    w_in_ref[l, 1, lo:lo + c, :], view(0), dn,
+                    preferred_element_type=f32,
+                )
+                z += jax.lax.dot_general(
+                    w_in_ref[l, 2, lo:lo + c, :], view(d), dn,
+                    preferred_element_type=f32,
+                )
+                z += b_in_ref[l, lo:lo + c].astype(f32)[:, None]
+                z += cond[lo:lo + c].astype(f32)
+                return z
 
-        acts = (jnp.tanh(half(0)) * jax.nn.sigmoid(half(c))).astype(dt)
+            acts = (jnp.tanh(half(0))
+                    * jax.nn.sigmoid(half(c))).astype(dt)
         rs = jax.lax.dot_general(
             w_rs_ref[l], acts, dn, preferred_element_type=f32
         ) + b_rs_ref[l].astype(f32)[:, None]
@@ -170,7 +190,8 @@ def _wn_flow_kernel(nl, tile, lbuf, halo, guard, c, p_ch, t_total,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_layers", "t_valid", "tile", "interpret"),
+    static_argnames=("n_layers", "t_valid", "tile", "interpret",
+                     "tap_concat"),
 )
 def wn_flow_pallas(
     packed: dict,
@@ -180,6 +201,7 @@ def wn_flow_pallas(
     t_valid: int,
     tile: int = 4096,
     interpret: bool = False,
+    tap_concat: bool = True,
 ) -> jnp.ndarray:
     """One full WN coupling net -> (B, p_ch, t_pad); caller slices
     [:, :2*n_half, :T].  `cond_padded` must be laid out in the padded
@@ -205,10 +227,17 @@ def wn_flow_pallas(
             f"{t_pad + 2 * halo}"
         )
 
+    w_in = packed["w_in"]  # (L, 3, 2C, C)
+    if tap_concat:
+        # (L, 2C, 3C): tap j in K columns [j*C, (j+1)*C)
+        w_in = jnp.concatenate(
+            [w_in[:, 0], w_in[:, 1], w_in[:, 2]], axis=2
+        )
+
     grid = (B, t_pad // tile)
     kernel = functools.partial(
         _wn_flow_kernel, n_layers, tile, lbuf, halo, guard, c, p_ch,
-        t_valid,
+        t_valid, tap_concat,
     )
     wspec = lambda *shape: pl.BlockSpec(  # noqa: E731
         shape, lambda b, t: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -221,7 +250,7 @@ def wn_flow_pallas(
             pl.BlockSpec(memory_space=pl.ANY),  # cond (manual DMA)
             wspec(*packed["w_start"].shape),
             wspec(*packed["b_start"].shape),
-            wspec(*packed["w_in"].shape),
+            wspec(*w_in.shape),
             wspec(*packed["b_in"].shape),
             wspec(*packed["w_rs"].shape),
             wspec(*packed["b_rs"].shape),
@@ -236,6 +265,8 @@ def wn_flow_pallas(
         scratch_shapes=[
             pltpu.VMEM((p_ch, lbuf + 2 * guard), audio_half.dtype),
             pltpu.VMEM((2, 2 * c, lbuf), audio_half.dtype),  # cond slots
+            pltpu.VMEM(((3 * c if tap_concat else 1), lbuf),
+                       audio_half.dtype),                    # tap staging
             pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -245,7 +276,7 @@ def wn_flow_pallas(
     )(
         a_pad, cond_padded,
         packed["w_start"], packed["b_start"],
-        packed["w_in"], packed["b_in"],
+        w_in, packed["b_in"],
         packed["w_rs"], packed["b_rs"],
         packed["w_end"], packed["b_end"],
     )

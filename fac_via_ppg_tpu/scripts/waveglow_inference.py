@@ -33,8 +33,8 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
          batch_size=1, sampling_rate=16000, data_parallel=False,
          compute_dtype="float32", wn_impl="xla", model_parallel=1,
          cond_impl="dense", config_path=None):
-    if cond_impl == "int8" and wn_impl != "xla":
-        raise SystemExit("--cond_impl int8 requires --wn_impl xla")
+    if cond_impl == "int8" and wn_impl == "pallas":
+        raise SystemExit("--cond_impl int8 requires --wn_impl xla or flow")
     # The reference CLI recovers the architecture from the pickled model
     # object (waveglow/inference.py:40); our checkpoints are bare param
     # pytrees, so non-default sizes are named explicitly via the same
@@ -64,7 +64,11 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
 
     dtype = None if compute_dtype == "float32" else jnp.dtype(compute_dtype)
     packed_wn = None
-    if wn_impl != "xla":
+    if wn_impl == "flow":
+        from fac_via_ppg_tpu.models.waveglow import pack_waveglow_flow
+
+        packed_wn = pack_waveglow_flow(cfg, params)
+    elif wn_impl != "xla":
         from fac_via_ppg_tpu.models.waveglow import pack_waveglow_pallas
 
         packed_wn = pack_waveglow_pallas(cfg, params)
@@ -199,9 +203,11 @@ if __name__ == "__main__":
                         help="int8: cond matmuls on the int8 MXU (~10%% "
                              "faster; 39.4 dB SNR with bf16)")
     parser.add_argument("--wn_impl", default="xla",
-                        choices=["xla", "pallas"],
-                        help="coupling-net impl; pallas = fused VMEM kernel "
-                             "(one-off Mosaic compile per dilation)")
+                        choices=["xla", "pallas", "flow"],
+                        help="coupling-net impl; flow = cross-layer Pallas "
+                             "kernel (whole WN chain in VMEM per tile, one "
+                             "Mosaic compile); pallas = round-2 per-layer "
+                             "kernel (one compile per dilation)")
     parser.add_argument("-c", "--config", default=None,
                         help="config.json naming a non-default architecture "
                              "(reference waveglow/config.json schema); "
