@@ -100,9 +100,7 @@ def kernel_table(trace_dir: str, calls: int = 1,
     events = load_events(trace_dir)
     dev_pids = _device_pids(events)
     mod_tids = _module_tids(events, dev_pids)
-    agg: Dict[str, dict] = collections.defaultdict(
-        lambda: {"us": 0.0, "count": 0, "bytes": 0.0, "flops": 0.0}
-    )
+    kept: List[dict] = []
     for e in events:
         if e.get("ph") != "X":
             continue
@@ -116,9 +114,40 @@ def kernel_table(trace_dir: str, calls: int = 1,
         if "bytes_accessed" not in args and "model_flops" not in args \
                 and not dev_pids:
             continue
+        kept.append(e)
+
+    # SELF time per event: `while`/`scan` spans contain their body ops'
+    # events on the same thread, so summing raw durations double-counts
+    # loop bodies (observed on the training-step traces: summed device
+    # time exceeded wall time).  Flamegraph-style stack walk per thread;
+    # a parent keeps only the time not covered by its children — for a
+    # while-loop that is the genuine per-iteration scheduling overhead.
+    by_tid: Dict[tuple, List[dict]] = collections.defaultdict(list)
+    for e in kept:
+        by_tid[(e.get("pid"), e.get("tid"))].append(e)
+    self_us: Dict[int, float] = {}
+    for lst in by_tid.values():
+        lst.sort(key=lambda e: (float(e.get("ts", 0.0)),
+                                -float(e.get("dur", 0.0))))
+        stack: List[dict] = []
+        for e in lst:
+            ts, dur = float(e.get("ts", 0.0)), float(e.get("dur", 0.0))
+            while stack and float(stack[-1].get("ts", 0.0)) + float(
+                    stack[-1].get("dur", 0.0)) <= ts + 1e-9:
+                stack.pop()
+            self_us[id(e)] = dur
+            if stack:
+                self_us[id(stack[-1])] -= dur
+            stack.append(e)
+
+    agg: Dict[str, dict] = collections.defaultdict(
+        lambda: {"us": 0.0, "count": 0, "bytes": 0.0, "flops": 0.0}
+    )
+    for e in kept:
+        args = e.get("args", {}) or {}
         name = e.get("name", "?")
         a = agg[name]
-        a["us"] += float(e.get("dur", 0.0))
+        a["us"] += max(self_us[id(e)], 0.0)
         a["count"] += 1
         a["bytes"] += float(args.get("bytes_accessed", 0.0) or 0.0)
         a["flops"] += float(args.get("model_flops", 0.0) or 0.0)

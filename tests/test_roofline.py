@@ -94,3 +94,34 @@ def test_calls_divides_and_families(tmp_path):
     fams = group_families(rows)
     assert "convolution" in fams and "fusion (elementwise)" in fams
     assert abs(sum(f["ms"] for f in fams.values()) - 3.0) < 1e-6
+
+
+def test_while_span_self_time(tmp_path):
+    """`while` spans contain their body ops' events on the same thread
+    (training-step traces); raw summation double-counts the bodies.
+    Self-time attribution keeps only the loop's scheduling overhead on
+    the parent."""
+    ev = [
+        {"ph": "M", "name": "process_name", "pid": 3,
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "name": "thread_name", "pid": 3, "tid": 3,
+         "args": {"name": "XLA Ops"}},
+        # a 10 ms while span with two 4 ms body fusions inside
+        {"ph": "X", "name": "while.1", "pid": 3, "tid": 3,
+         "ts": 0, "dur": 10000.0, "args": {"bytes_accessed": 1e3}},
+        {"ph": "X", "name": "fusion.b", "pid": 3, "tid": 3,
+         "ts": 500, "dur": 4000.0, "args": {"bytes_accessed": 819e6}},
+        {"ph": "X", "name": "fusion.b", "pid": 3, "tid": 3,
+         "ts": 5500, "dur": 4000.0, "args": {"bytes_accessed": 819e6}},
+        # a leaf after the loop
+        {"ph": "X", "name": "fusion.c", "pid": 3, "tid": 3,
+         "ts": 11000, "dur": 2000.0, "args": {"bytes_accessed": 1e3}},
+    ]
+    td = _write_trace(tmp_path, ev)
+    rows = {r["name"]: r for r in kernel_table(td, calls=1)}
+    t = totals(rows.values() if isinstance(rows, dict) else rows)
+    # total = 10 (while incl. bodies) + 2 (leaf) = 12 ms, NOT 20
+    assert abs(sum(r["ms"] for r in rows.values()) - 12.0) < 1e-6
+    assert abs(rows["while.1"]["ms"] - 2.0) < 1e-6  # self time only
+    assert abs(rows["fusion.b"]["ms"] - 8.0) < 1e-6
+    assert rows["fusion.b"]["count"] == 2
