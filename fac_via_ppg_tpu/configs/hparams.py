@@ -172,6 +172,11 @@ _TPU_EXTENSIONS: Dict[str, Any] = {
     "featurize_device": False,
     # jax.profiler trace dir ("" disables).
     "profile_dir": "",
+    # Persistent XLA compilation-cache dir ("" disables; also settable via
+    # $FACPPG_COMPILATION_CACHE).  Eliminates the multi-minute first-compile
+    # cost on process restart on real TPU hosts; measured no-op over this
+    # environment's axon tunnel (utils/compilation_cache.py, docs/PERF.md).
+    "compilation_cache_dir": "",
 }
 
 

@@ -413,7 +413,17 @@ def main():
                         help="int8: vocoder cond matmuls on the int8 MXU "
                              "(~10%% faster vocoder at 39.4 dB SNR vs "
                              "f32-dense; needs --fused)")
+    parser.add_argument("--compilation_cache_dir", default="",
+                        help="persistent XLA compilation cache: restarted "
+                             "replicas skip the multi-minute first compile "
+                             "(real TPU hosts; no-op over the axon tunnel "
+                             "— see utils/compilation_cache.py)")
     args = parser.parse_args()
+    from fac_via_ppg_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache(args.compilation_cache_dir or None)
 
     hparams = create_hparams_stage()
     t2_cfg = Tacotron2Config.from_hparams(hparams)

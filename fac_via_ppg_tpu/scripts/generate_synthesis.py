@@ -30,6 +30,7 @@ from fac_via_ppg_tpu.configs.hparams import (
 from fac_via_ppg_tpu.dsp.stft import TacotronSTFT
 from fac_via_ppg_tpu.frontend import ppg as ppg_mod
 from fac_via_ppg_tpu.models.denoiser import Denoiser
+from fac_via_ppg_tpu.utils.compilation_cache import enable_compilation_cache
 from fac_via_ppg_tpu.utils.inference import (
     get_inference,
     load_tacotron2_model,
@@ -68,7 +69,14 @@ def main():
                              "(~10%% faster vocoder, 39.4 dB SNR vs "
                              "f32-dense on the trained ckpt; needs --fused "
                              "or a batch input)")
+    parser.add_argument("--compilation_cache_dir", default="",
+                        help="persistent XLA compilation cache: replicas "
+                             "restarting with the same programs skip the "
+                             "multi-minute first compile (real TPU hosts; "
+                             "no-op over the axon tunnel — see "
+                             "utils/compilation_cache.py)")
     args = parser.parse_args()
+    enable_compilation_cache(args.compilation_cache_dir or None)
 
     output_dir = args.output_dir
     os.makedirs(output_dir, exist_ok=True)

@@ -39,6 +39,7 @@ from fac_via_ppg_tpu.models.tacotron2 import init_tacotron2
 from fac_via_ppg_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from fac_via_ppg_tpu.train import checkpoint as ckpt
 from fac_via_ppg_tpu.train.logger import Tacotron2Logger
+from fac_via_ppg_tpu.utils.compilation_cache import enable_compilation_cache
 from fac_via_ppg_tpu.train.optim import make_optimizer
 from fac_via_ppg_tpu.train.step import (
     make_tacotron2_eval_step,
@@ -104,6 +105,9 @@ def train(output_directory, log_directory, checkpoint_path, warm_start,
     """Main training driver (signature matches the reference train())."""
     del rank, group_name  # single-controller JAX: no per-process identity
 
+    enable_compilation_cache(
+        getattr(hparams, "compilation_cache_dir", "") or None
+    )
     cfg = Tacotron2Config.from_hparams(hparams)
     key = jax.random.PRNGKey(hparams.seed)
     key, k_init = jax.random.split(key)

@@ -32,6 +32,7 @@ from fac_via_ppg_tpu.train import checkpoint as ckpt
 from fac_via_ppg_tpu.train.logger import WaveglowLogger
 from fac_via_ppg_tpu.train.optim import make_optimizer
 from fac_via_ppg_tpu.train.step import make_waveglow_train_step
+from fac_via_ppg_tpu.utils.compilation_cache import enable_compilation_cache
 
 
 def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
@@ -40,7 +41,8 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
           grad_accum_steps=1, lr_schedule="constant", lr_warmup_steps=0,
           lr_decay_steps=0, lr_decay_rate=1.0, lr_min_factor=0.0,
           tensor_parallel_devices=1, data_parallel_devices=None,
-          zero_sharded_opt_state=False, remat=False):
+          zero_sharded_opt_state=False, remat=False,
+          compilation_cache_dir=""):
     """Signature mirrors the reference train() (train_waveglow.py:66).
 
     `train_dtype` is a TPU extension: "bfloat16" runs the flows' forward/
@@ -54,6 +56,7 @@ def train(num_gpus, rank, group_name, output_directory, epochs, learning_rate,
     """
     del num_gpus, rank, group_name  # single-controller JAX
 
+    enable_compilation_cache(compilation_cache_dir or None)
     cfg = WaveGlowConfig.from_dict(waveglow_config or {})
     key = jax.random.PRNGKey(seed)
     key, k_init = jax.random.split(key)

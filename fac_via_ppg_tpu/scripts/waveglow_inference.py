@@ -212,7 +212,17 @@ if __name__ == "__main__":
                         help="config.json naming a non-default architecture "
                              "(reference waveglow/config.json schema); "
                              "default: the reference 12-flow model")
+    parser.add_argument("--compilation_cache_dir", default="",
+                        help="persistent XLA compilation cache: restarted "
+                             "replicas skip the ~3 min WaveGlow first "
+                             "compile (real TPU hosts; no-op over the axon "
+                             "tunnel — see utils/compilation_cache.py)")
     args = parser.parse_args()
+    from fac_via_ppg_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache(args.compilation_cache_dir or None)
     main(args.filelist_path, args.waveglow_path, args.output_dir, args.sigma,
          args.denoiser_strength, args.batch_size, args.sampling_rate,
          args.data_parallel, args.compute_dtype, args.wn_impl,

@@ -282,3 +282,55 @@ def test_lr_schedules():
         make_lr_schedule(base, "exponential")  # needs decay_steps
     with pytest.raises(ValueError):
         make_lr_schedule(base, "nope")
+
+
+def test_compilation_cache_helper(tmp_path, monkeypatch):
+    """enable_compilation_cache resolves, writes entries, and un-leaks.
+
+    Serving cold-start feature (no reference analogue: the reference pays
+    the full cuDNN build on every process, train_ppg2mel.py:230-236).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fac_via_ppg_tpu.utils.compilation_cache import (
+        disable_compilation_cache,
+        enable_compilation_cache,
+    )
+
+    # disabled: no dir and no env var -> no-op
+    monkeypatch.delenv("FACPPG_COMPILATION_CACHE", raising=False)
+    assert enable_compilation_cache(None) is None
+
+    cache_dir = tmp_path / "xla_cache"
+    try:
+        resolved = enable_compilation_cache(
+            str(cache_dir), min_compile_time_secs=0.0
+        )
+        assert resolved == str(cache_dir)
+        assert cache_dir.is_dir()
+
+        @jax.jit
+        def f(x):
+            return jnp.tanh(x @ x).sum() * 3.25
+
+        x = jnp.full((64, 64), 0.01, jnp.float32)
+        expected = float(f(x))
+        entries = list(cache_dir.iterdir())
+        assert entries, "compile wrote no persistent cache entries"
+
+        # a fresh compilation of the same program hits the persistent
+        # cache and still computes the same value
+        jax.clear_caches()
+        assert float(f(x)) == expected
+    finally:
+        disable_compilation_cache()
+
+    # env-var fallback resolves when no explicit dir is passed
+    env_dir = tmp_path / "from_env"
+    monkeypatch.setenv("FACPPG_COMPILATION_CACHE", str(env_dir))
+    try:
+        assert enable_compilation_cache(None) == str(env_dir)
+        assert env_dir.is_dir()
+    finally:
+        disable_compilation_cache()
