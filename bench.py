@@ -36,7 +36,8 @@ import numpy as np
 def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
                        warmup: int = 3, iters: int = 10,
                        wn_impl: str = "xla",
-                       cond_impl: str = "int8") -> dict:
+                       cond_impl: str = "int8",
+                       repeats: int = 1) -> dict:
     from fac_via_ppg_tpu.configs.hparams import WaveGlowConfig
     from fac_via_ppg_tpu.models.waveglow import (
         init_waveglow,
@@ -64,10 +65,18 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
     # block_until_ready alone has been observed returning before execution
     # completes, which would inflate the result.
     packed_wn = None
+    _flow_packs = {}
     if wn_impl == "flow":
         from fac_via_ppg_tpu.models.waveglow import pack_waveglow_flow
 
-        packed_wn = pack_waveglow_flow(cfg, params)
+        def _flow_pack(dtype):
+            # kernel weights in the measured dtype (biases stay f32) so a
+            # bf16 flow run measures a pure-bf16 kernel, not mixed dots
+            if dtype not in _flow_packs:
+                _flow_packs[dtype] = pack_waveglow_flow(
+                    cfg, params, dtype=dtype
+                )
+            return _flow_packs[dtype]
     elif wn_impl != "xla":
         from fac_via_ppg_tpu.models.waveglow import pack_waveglow_pallas
 
@@ -93,6 +102,7 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
         throughput a serving loop actually sees (eval/streaming.py
         pipeline_depth=2)."""
         mel_b = mel[:b]
+        pk = _flow_pack(dtype) if wn_impl == "flow" else packed_wn
         ci = cond_impl if ci is None else ci
         # packed_cond exists whenever any caller uses ci='int8' (it is
         # built above iff cond_impl != 'dense', and explicit ci overrides
@@ -116,22 +126,31 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
             )
         infer = _infer_cache[(dtype, ci)]
         for i in range(warmup):
-            float(infer(params, packed_wn, mel_b, jax.random.PRNGKey(i)))
-        start = time.perf_counter()
-        prev = None
-        for i in range(iters):
-            cur = infer(params, packed_wn, mel_b, jax.random.PRNGKey(100 + i))
-            if not pipelined:
-                float(cur)
-            elif prev is not None:
-                float(prev)
-            if pipelined:
-                prev = cur
-        if prev is not None:
-            float(prev)
-        elapsed = time.perf_counter() - start
+            float(infer(params, pk, mel_b, jax.random.PRNGKey(i)))
+        # `repeats` > 1 re-times the whole window that many times and
+        # reports the MEDIAN (runs in the detail) — tunnel run-to-run
+        # variance is real (docs/PERF.md quotes ranges), and the median
+        # protocol makes spreads cheap to produce in one invocation.
         audio_seconds = iters * b * (n_frames * cfg.hop_length) / sr
-        return audio_seconds / elapsed, elapsed
+        rtfs, elapsed_total = [], 0.0
+        for _ in range(max(repeats, 1)):
+            start = time.perf_counter()
+            prev = None
+            for i in range(iters):
+                cur = infer(params, pk, mel_b,
+                            jax.random.PRNGKey(100 + i))
+                if not pipelined:
+                    float(cur)
+                elif prev is not None:
+                    float(prev)
+                if pipelined:
+                    prev = cur
+            if prev is not None:
+                float(prev)
+            elapsed = time.perf_counter() - start
+            rtfs.append(audio_seconds / elapsed)
+            elapsed_total += elapsed
+        return float(np.median(rtfs)), elapsed_total, rtfs
 
     # Serving precision is bf16 (fp32 accumulation, fp32 1x1 inverses) —
     # the TPU analogue of the reference's fp16 inference mode — with the
@@ -139,16 +158,21 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
     # on the trained r3 checkpoint the quality ladder vs f32-dense is
     # bf16-dense 40.4 dB / bf16-int8 39.4 dB SNR (docs/PERF.md), i.e.
     # int8-cond costs ~1 dB relative to the bf16 serving mode.
-    rtf_bf16, elapsed = measure(jnp.bfloat16)
+    rtf_bf16, elapsed, runs = measure(jnp.bfloat16)
     detail = {
         "batch": batch,
         "seconds_per_utt": seconds,
         "iters": iters,
+        "repeats": max(repeats, 1),
         "elapsed_s": round(elapsed, 3),
         "device": str(jax.devices()[0]),
         "wn_impl": wn_impl,
         "cond_impl": cond_impl,
     }
+    if len(runs) > 1:
+        detail["rtf_runs"] = [round(r, 2) for r in runs]
+        detail["rtf_min"] = round(min(runs), 2)
+        detail["rtf_max"] = round(max(runs), 2)
     if cond_impl == "int8":
         detail["int8_snr_note"] = (
             "SNR vs f32-dense on the trained checkpoint: bf16-dense "
@@ -157,15 +181,17 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
     try:
         # throughput with one call in flight (readback RTT overlapped;
         # every result still forced) — what a pipelined serving loop sees
-        rtf_piped, _ = measure(jnp.bfloat16, pipelined=True)
+        rtf_piped, _, piped_runs = measure(jnp.bfloat16, pipelined=True)
         detail["rtf_pipelined"] = round(rtf_piped, 2)
+        if len(piped_runs) > 1:
+            detail["rtf_pipelined_runs"] = [round(r, 2) for r in piped_runs]
     except Exception as exc:  # pragma: no cover
         detail["rtf_pipelined_error"] = str(exc)[:200]
     if cond_impl != "dense":
         try:
             # the dense bf16 figure (rounds 1-2's headline protocol) so
             # the int8 gain is visible inside one artifact
-            rtf_dense, _ = measure(jnp.bfloat16, ci="dense")
+            rtf_dense, _, _ = measure(jnp.bfloat16, ci="dense")
             detail["rtf_bf16_dense"] = round(rtf_dense, 2)
         except Exception as exc:  # pragma: no cover
             detail["rtf_bf16_dense_error"] = str(exc)[:200]
@@ -176,7 +202,7 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
         # program deterministically fails the tunnel's remote-compile
         # helper (HTTP 500), and f32 throughput saturates by 16 anyway.
         f32_batch = min(batch, 16)
-        rtf_f32, _ = measure(None, b=f32_batch, ci="dense")
+        rtf_f32, _, _ = measure(None, b=f32_batch, ci="dense")
         detail["rtf_float32"] = round(rtf_f32, 2)
         detail["f32_batch"] = f32_batch
         if f32_batch != batch:
@@ -591,10 +617,17 @@ if __name__ == "__main__":
     parser.add_argument("--pipeline_depth", type=int, default=2,
                         help="streaming_fused micro-batches in flight "
                              "(2 overlaps device exec with PCM readback)")
+    parser.add_argument("--repeats", type=int, default=1,
+                        help="rtf config: re-time the measured window N "
+                             "times; JSON value = median, detail carries "
+                             "each run + min/max (quote RANGES, not "
+                             "best-ever single runs — tunnel variance is "
+                             "~4%%)")
     args = parser.parse_args()
     runners = {
         "rtf": lambda: bench_waveglow_rtf(wn_impl=args.wn_impl,
-                                          cond_impl=args.cond_impl),
+                                          cond_impl=args.cond_impl,
+                                          repeats=args.repeats),
         "e2e": bench_e2e_latency,
         "e2e_fused": lambda: bench_e2e_fused(cond_impl=args.cond_impl),
         "e2e_fused_batch":

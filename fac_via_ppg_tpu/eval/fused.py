@@ -59,6 +59,8 @@ class FusedSynthesizer:
         data_parallel: bool = False,
         model_parallel: int = 1,
         cond_impl: str = "dense",
+        calibration_mel=None,
+        snr_budget_db: Optional[float] = None,
     ):
         """`data_parallel=True` spreads `synthesize_batch` over every chip:
         params replicate onto a 1-D 'data' mesh, the utterance batch is
@@ -80,7 +82,50 @@ class FusedSynthesizer:
         checkpoint (docs/PERF.md "int8 cond matmuls").  Composes with
         model_parallel>1: the packed stack shards column-parallel over
         the 'model' axis (parallel/sharding.int8cond_shardings), the
-        same placement the dense cond_layers get."""
+        same placement the dense cond_layers get.
+
+        `cond_impl='auto'` is the production gate for the lossy int8
+        mode: at startup the bf16+int8 path's worst-utterance SNR vs
+        f32-dense is measured on `calibration_mel` (a small (B, n_mel, F)
+        batch from the deployment's own corpus —
+        eval/int8_snr.calibration_mel_from_wavs) and serving proceeds as
+        'int8' only if it meets `snr_budget_db` (default
+        eval/int8_snr.DEFAULT_SNR_BUDGET_DB), else falls back to 'dense'.
+        A checkpoint that quantizes badly cannot silently ship
+        out-of-budget audio — the safety rail the reference's analogous
+        lossy fp16 serving flag never had (src/waveglow/inference.py:38-41).
+        The resolved decision and measured SNR are exposed as
+        `.cond_impl` / `.calibration_snr_db`."""
+        self.requested_cond_impl = cond_impl
+        self.calibration_snr_db = None
+        self.snr_budget_db = None
+        if cond_impl == "auto":
+            from fac_via_ppg_tpu.eval.int8_snr import (
+                DEFAULT_SNR_BUDGET_DB,
+                select_cond_impl,
+            )
+
+            if calibration_mel is None:
+                raise ValueError(
+                    "cond_impl='auto' needs calibration_mel: a small "
+                    "(B, n_mel, F) mel batch from the deployment's own "
+                    "corpus (eval/int8_snr.calibration_mel_from_wavs)"
+                )
+            budget = (DEFAULT_SNR_BUDGET_DB if snr_budget_db is None
+                      else float(snr_budget_db))
+            # gate on the UN-cast params (the ladder's measurement
+            # configuration) before any bf16 cast below
+            cond_impl, worst = select_cond_impl(
+                wg_cfg, waveglow_params, jnp.asarray(calibration_mel),
+                budget, sigma=float(sigma),
+            )
+            self.calibration_snr_db = worst
+            self.snr_budget_db = budget
+            print(
+                f"cond_impl=auto: bf16+int8 worst-utterance SNR "
+                f"{worst:.1f} dB vs budget {budget:.1f} dB -> serving "
+                f"cond_impl='{cond_impl}'"
+            )
         if cond_impl not in ("dense", "int8"):
             raise ValueError(f"unknown cond_impl {cond_impl!r}")
         self.deps = deps or ppg_mod.DependenciesPPG()

@@ -35,6 +35,47 @@ def waveglow_config_from_json(path: str) -> WaveGlowConfig:
     return WaveGlowConfig.from_dict(json.load(open(path))["waveglow_config"])
 
 
+# Default worst-utterance SNR budget (dB, bf16+int8 vs f32-dense) for the
+# cond_impl='auto' serving gate: the healthy trained checkpoint measures
+# ~39 dB worst-utterance (docs/PERF.md quality ladder), the bf16 serving
+# mode itself sits at ~40 dB, so 35 dB flags only genuinely
+# quantization-hostile checkpoints while leaving ~4 dB of corpus headroom.
+DEFAULT_SNR_BUDGET_DB = 35.0
+
+
+def stack_calibration_mels(mels, max_frames: int = 400) -> jnp.ndarray:
+    """[(n_mel, T)] arrays -> one (B, n_mel, F) calibration batch, trimmed
+    to the shortest utterance and capped at `max_frames` (bounds the two
+    full-program compiles select_cond_impl pays at serving startup)."""
+    F = min(min(int(m.shape[-1]) for m in mels), int(max_frames))
+    return jnp.asarray(np.stack([np.asarray(m)[:, :F] for m in mels]))
+
+
+def calibration_mel_from_wavs(wav_paths, cfg: WaveGlowConfig,
+                              max_utts: int = 4,
+                              max_frames: int = 400) -> jnp.ndarray:
+    """Calibration batch for cond_impl='auto' from deployment wavs: the
+    TacotronSTFT analysis mel of the first `max_utts` inputs — the same
+    mel family the vocoder trains on (reference mel2samp.py:61-72), so the
+    gate measures the deployment's own amplitude statistics."""
+    from scipy.io import wavfile
+
+    from fac_via_ppg_tpu.utils.inference import get_mel
+
+    stft = TacotronSTFT(filter_length=1024, hop_length=cfg.hop_length,
+                        win_length=1024, sampling_rate=16000,
+                        n_mel_channels=cfg.n_mel_channels,
+                        mel_fmin=0.0, mel_fmax=8000.0)
+    mels = []
+    for p in list(wav_paths)[:max_utts]:
+        _, wav = wavfile.read(p)
+        mels.append(np.asarray(get_mel(wav, stft)[0]))
+    if not mels:
+        raise ValueError("cond_impl='auto' needs at least one input wav "
+                         "to calibrate on")
+    return stack_calibration_mels(mels, max_frames)
+
+
 def matched_noise(cfg: WaveGlowConfig, batch: int, n_frames: int,
                   seed: int = 0):
     """Unit gaussians in waveglow_infer draw order, shared across paths."""

@@ -142,7 +142,8 @@ class StreamingAccentConverter:
                  fused: bool = False, batch_size: int = 1,
                  frontend_threads: int = 1, data_parallel: bool = False,
                  model_parallel: int = 1, pipeline_depth: int = 2,
-                 on_error: str = "raise", cond_impl: str = "dense"):
+                 on_error: str = "raise", cond_impl: str = "dense",
+                 calibration_mel=None, snr_budget_db=None):
         self.t2_cfg = t2_cfg
         self.tacotron_params = tacotron_params
         self.tacotron_state = tacotron_state
@@ -191,6 +192,8 @@ class StreamingAccentConverter:
                 data_parallel=data_parallel,
                 model_parallel=model_parallel,
                 cond_impl=cond_impl,
+                calibration_mel=calibration_mel,
+                snr_budget_db=snr_budget_db,
             )
         elif batch_size > 1 or data_parallel or model_parallel > 1:
             raise ValueError(
@@ -409,10 +412,18 @@ def main():
                         help="per-utterance front-end failures: abort "
                              "the stream, or log + keep serving")
     parser.add_argument("--cond_impl", default="dense",
-                        choices=["dense", "int8"],
+                        choices=["dense", "int8", "auto"],
                         help="int8: vocoder cond matmuls on the int8 MXU "
-                             "(~10%% faster vocoder at 39.4 dB SNR vs "
-                             "f32-dense; needs --fused)")
+                             "(~10%% faster vocoder at ~-1 dB SNR vs the "
+                             "bf16 mode; needs --fused).  auto: measure "
+                             "the int8 worst-utterance SNR on this "
+                             "deployment's own checkpoint + first inputs "
+                             "at startup and fall back to dense below "
+                             "--snr_budget_db")
+    parser.add_argument("--snr_budget_db", type=float, default=None,
+                        help="worst-utterance SNR budget (dB) for "
+                             "--cond_impl auto; default "
+                             "eval/int8_snr.DEFAULT_SNR_BUDGET_DB")
     parser.add_argument("--compilation_cache_dir", default="",
                         help="persistent XLA compilation cache: restarted "
                              "replicas skip the multi-minute first compile "
@@ -437,6 +448,13 @@ def main():
 
     import jax.numpy as jnp
 
+    calibration_mel = None
+    if args.cond_impl == "auto":
+        # calibrate the int8 gate on this deployment's own first inputs
+        from fac_via_ppg_tpu.eval.int8_snr import calibration_mel_from_wavs
+
+        calibration_mel = calibration_mel_from_wavs(wavs, wg_cfg)
+
     converter = StreamingAccentConverter(
         t2_cfg, t2_params, t2_state, wg_cfg, wg_params,
         sigma=args.sigma, denoiser_strength=args.denoiser_strength,
@@ -449,6 +467,8 @@ def main():
         pipeline_depth=args.pipeline_depth,
         on_error=args.on_error,
         cond_impl=args.cond_impl,
+        calibration_mel=calibration_mel,
+        snr_budget_db=args.snr_budget_db,
     )
     total_audio = total_wall = 0.0
     steady_audio = steady_wall = 0.0

@@ -291,7 +291,7 @@ def pad_time_for_flow(x: jnp.ndarray, t_pad: int, halo: int) -> jnp.ndarray:
     return jnp.pad(x, pad)
 
 
-def pack_wn_flow(wn: dict, n_layers: int, p_ch: int = 8) -> dict:
+def pack_wn_flow(wn: dict, n_layers: int, p_ch: int = None) -> dict:
     """One flow's folded WN params (remove_weightnorm form) -> the stacked
     padded arrays the kernel wants.  Precompute ONCE outside jit
     (pack_waveglow_flow for all flows); biases are kept f32.
@@ -309,6 +309,11 @@ def pack_wn_flow(wn: dict, n_layers: int, p_ch: int = 8) -> dict:
     """
     C = wn["start"]["weight"].shape[0]
     n_half = wn["start"]["weight"].shape[1]
+    if p_ch is None:
+        # smallest sublane-aligned (x8) count holding the 2*n_half coupling
+        # output — configs with n_group > 8 pack (and run) instead of
+        # failing with a broadcast error in w_end.at[:n_out].set
+        p_ch = max(8, -(-2 * n_half // 8) * 8)
 
     def f32(x):
         return jnp.asarray(x, jnp.float32)

@@ -64,11 +64,18 @@ def main():
                         help="shard fused batches over every chip on the "
                              "'data' mesh axis (multi-chip serving)")
     parser.add_argument("--cond_impl", default="dense",
-                        choices=["dense", "int8"],
+                        choices=["dense", "int8", "auto"],
                         help="int8: vocoder cond matmuls on the int8 MXU "
-                             "(~10%% faster vocoder, 39.4 dB SNR vs "
-                             "f32-dense on the trained ckpt; needs --fused "
-                             "or a batch input)")
+                             "(~10%% faster vocoder, ~-1 dB SNR vs the "
+                             "bf16 mode on the trained ckpt; needs --fused "
+                             "or a batch input).  auto: measure the int8 "
+                             "worst-utterance SNR on this checkpoint + "
+                             "input at startup, fall back to dense below "
+                             "--snr_budget_db")
+    parser.add_argument("--snr_budget_db", type=float, default=None,
+                        help="worst-utterance SNR budget (dB) for "
+                             "--cond_impl auto; default "
+                             "eval/int8_snr.DEFAULT_SNR_BUDGET_DB")
     parser.add_argument("--compilation_cache_dir", default="",
                         help="persistent XLA compilation cache: replicas "
                              "restarting with the same programs skip the "
@@ -146,6 +153,17 @@ def main():
         print("No .wav files under", teacher_utt_path)
         return
 
+    calibration_mel = None
+    if args.cond_impl == "auto":
+        # the int8 serving gate calibrates on this deployment's own input
+        from fac_via_ppg_tpu.eval.int8_snr import calibration_mel_from_wavs
+
+        cal_wavs = (batch_paths if batch_paths is not None
+                    else ([teacher_utt_path]
+                          if os.path.isfile(teacher_utt_path) else []))
+        if cal_wavs:
+            calibration_mel = calibration_mel_from_wavs(cal_wavs, wg_cfg)
+
     if batch_paths is not None:
         from fac_via_ppg_tpu.eval.fused import FusedSynthesizer
 
@@ -158,6 +176,8 @@ def main():
             max_frames=t2_cfg.max_decoder_steps,
             data_parallel=args.data_parallel,
             cond_impl=args.cond_impl,
+            calibration_mel=calibration_mel,
+            snr_budget_db=args.snr_budget_db,
         )
         # one chunk stays in flight (launch/collect split): chunk N+1's
         # featurization + device execution overlap chunk N's PCM readback
@@ -205,12 +225,14 @@ def main():
                 max_frames=t2_cfg.max_decoder_steps,
                 data_parallel=args.data_parallel,
                 cond_impl=args.cond_impl,
+                calibration_mel=calibration_mel,
+                snr_budget_db=args.snr_budget_db,
             )
             key, sub = jax.random.split(key)
             pcm = synth(teacher_utt_path, key=sub)
         else:
             if args.cond_impl != "dense":
-                raise SystemExit("--cond_impl int8 needs --fused "
+                raise SystemExit("--cond_impl int8/auto needs --fused "
                                  "(or a directory/.txt batch input)")
             teacher_ppg = ppg_mod.get_ppg(teacher_utt_path, deps)
             key, k_mel, k_wg = jax.random.split(key, 3)

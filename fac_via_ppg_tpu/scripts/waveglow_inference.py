@@ -32,9 +32,10 @@ from fac_via_ppg_tpu.utils.inference import load_waveglow_model
 def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
          batch_size=1, sampling_rate=16000, data_parallel=False,
          compute_dtype="float32", wn_impl="xla", model_parallel=1,
-         cond_impl="dense", config_path=None):
-    if cond_impl == "int8" and wn_impl == "pallas":
-        raise SystemExit("--cond_impl int8 requires --wn_impl xla or flow")
+         cond_impl="dense", config_path=None, snr_budget_db=None):
+    if cond_impl in ("int8", "auto") and wn_impl == "pallas":
+        raise SystemExit("--cond_impl int8/auto requires --wn_impl xla "
+                         "or flow")
     # The reference CLI recovers the architecture from the pickled model
     # object (waveglow/inference.py:40); our checkpoints are bare param
     # pytrees, so non-default sizes are named explicitly via the same
@@ -62,12 +63,36 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
 
     import jax.numpy as jnp
 
+    if cond_impl == "auto":
+        # int8 serving gate, calibrated on the deployment's own inputs:
+        # these mel files ARE the vocoder's serving distribution, so the
+        # first few are the calibration batch (worst-utterance SNR of the
+        # bf16+int8 path vs f32-dense; dense fallback below budget)
+        from fac_via_ppg_tpu.eval.int8_snr import (
+            DEFAULT_SNR_BUDGET_DB,
+            select_cond_impl,
+            stack_calibration_mels,
+        )
+
+        budget = (DEFAULT_SNR_BUDGET_DB if snr_budget_db is None
+                  else float(snr_budget_db))
+        cal = stack_calibration_mels(
+            [m.astype(np.float32) for _, m in mels[:4]]
+        )
+        cond_impl, worst = select_cond_impl(cfg, params, cal, budget,
+                                            sigma=sigma)
+        print(f"cond_impl=auto: bf16+int8 worst-utterance SNR "
+              f"{worst:.1f} dB vs budget {budget:.1f} dB -> serving "
+              f"cond_impl='{cond_impl}'")
+
     dtype = None if compute_dtype == "float32" else jnp.dtype(compute_dtype)
     packed_wn = None
     if wn_impl == "flow":
         from fac_via_ppg_tpu.models.waveglow import pack_waveglow_flow
 
-        packed_wn = pack_waveglow_flow(cfg, params)
+        # kernel weights in the serving dtype (biases stay f32): without
+        # this a bf16 serve would run mixed f32xbf16 dots in the kernel
+        packed_wn = pack_waveglow_flow(cfg, params, dtype=dtype)
     elif wn_impl != "xla":
         from fac_via_ppg_tpu.models.waveglow import pack_waveglow_pallas
 
@@ -199,9 +224,17 @@ if __name__ == "__main__":
                              "SNR vs f32 on the trained ckpt — "
                              "docs/PERF.md quality ladder)")
     parser.add_argument("--cond_impl", default="dense",
-                        choices=["dense", "int8"],
+                        choices=["dense", "int8", "auto"],
                         help="int8: cond matmuls on the int8 MXU (~10%% "
-                             "faster; 39.4 dB SNR with bf16)")
+                             "faster; ~-1 dB SNR vs the bf16 mode).  "
+                             "auto: measure the int8 worst-utterance SNR "
+                             "on this checkpoint + the first input mels "
+                             "at startup, fall back to dense below "
+                             "--snr_budget_db")
+    parser.add_argument("--snr_budget_db", type=float, default=None,
+                        help="worst-utterance SNR budget (dB) for "
+                             "--cond_impl auto; default "
+                             "eval/int8_snr.DEFAULT_SNR_BUDGET_DB")
     parser.add_argument("--wn_impl", default="xla",
                         choices=["xla", "pallas", "flow"],
                         help="coupling-net impl; flow = cross-layer Pallas "
@@ -226,4 +259,5 @@ if __name__ == "__main__":
     main(args.filelist_path, args.waveglow_path, args.output_dir, args.sigma,
          args.denoiser_strength, args.batch_size, args.sampling_rate,
          args.data_parallel, args.compute_dtype, args.wn_impl,
-         args.model_parallel, args.cond_impl, args.config)
+         args.model_parallel, args.cond_impl, args.config,
+         args.snr_budget_db)

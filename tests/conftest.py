@@ -48,7 +48,11 @@ def rng():
 # --------------------------------------------------------------------------
 
 SLOW_BY_NAME = {
-    # multi-process workers (real OS processes, gloo rendezvous)
+    # multi-process workers (real OS processes, gloo rendezvous): BOTH
+    # params are slow-tier — the 2-process variant alone measures 364 s
+    # on this box (N concurrent XLA compiles + a single-process replay).
+    # Default-tier coverage of sharded execution comes from the
+    # single-process smoke tests (tests/test_smoke_families.py).
     "test_multi_process_dp_matches_single_process",
     # trainer CLI end-to-end
     "test_train_ppg2mel_cli_end_to_end",
@@ -77,8 +81,10 @@ SLOW_BY_NAME = {
     "test_gradients_flow_everywhere",
     "test_training_is_seed_deterministic",
     "test_checkpoint_roundtrip",
+    "test_checkpoint_topology_change_restore",
     "test_adam_matches_torch",
     "test_loss_and_gradients",
+    "test_select_cond_impl_hostile_checkpoint",
     # streaming serving integration
     "test_streaming_pipeline_depth_is_transparent",
     "test_streaming_prewarm_is_transparent",

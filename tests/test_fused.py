@@ -349,3 +349,89 @@ def test_fused_cond_impl_int8_close_to_dense(tmp_path, rng):
     with pytest.raises(ValueError):
         FusedSynthesizer(t2_cfg, t2_params, t2_state, wg_cfg, wg_params,
                          cond_impl="nope", **kwargs)
+
+
+def test_fused_cond_impl_auto_gate(tmp_path, rng):
+    """cond_impl='auto' in the serving stack: a healthy checkpoint selects
+    int8, a deliberately quantization-hostile one falls back to dense, and
+    the decision + measured worst-utterance SNR are exposed on the
+    synthesizer.  Wired through StreamingAccentConverter too."""
+    import pytest
+
+    from fac_via_ppg_tpu.eval.streaming import StreamingAccentConverter
+
+    make_bundle(str(tmp_path / "bundle"), n_senones=16, n_phones=4,
+                hidden_dim=8, num_layers=1)
+    deps = DependenciesPPG(
+        nnet_path=str(tmp_path / "bundle" / "am" / "final.raw.txt"),
+        lda_path=str(tmp_path / "bundle" / "feats" / "final.mat"),
+        reduce_dim_path=str(tmp_path / "bundle" / "feats" / "reduce_dim.mat"),
+        splice_opts_path=str(tmp_path / "bundle" / "feats" / "splice_opts"),
+    )
+    t2_cfg = Tacotron2Config(
+        n_symbols=16, symbols_embedding_dim=16, encoder_embedding_dim=16,
+        decoder_rnn_dim=12, prenet_dim=8, attention_rnn_dim=12,
+        attention_dim=8, attention_location_n_filters=4,
+        attention_location_kernel_size=7, postnet_embedding_dim=16,
+        max_decoder_steps=16,
+    )
+    t2_params, t2_state = init_tacotron2(jax.random.PRNGKey(2), t2_cfg)
+    wg_cfg = WaveGlowConfig(
+        n_mel_channels=80, hop_length=160, n_flows=2, n_group=8,
+        n_early_every=4, n_early_size=2, wn_n_layers=2, wn_n_channels=16,
+        wn_kernel_size=3, upsample_kernel_size=1024,
+    )
+    wg_params = remove_weightnorm(
+        init_waveglow(jax.random.PRNGKey(3), wg_cfg)
+    )
+    k = jax.random.PRNGKey(4)
+    for wn in wg_params["wn"]:
+        k, sub = jax.random.split(k)
+        wn["end"]["weight"] = 0.05 * jax.random.normal(
+            sub, wn["end"]["weight"].shape, jnp.float32
+        )
+    cal_mel = jnp.asarray(rng.randn(2, 80, 12) * 0.5 - 5.0, jnp.float32)
+
+    healthy = FusedSynthesizer(
+        t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps=deps,
+        max_frames=16, cond_impl="auto", calibration_mel=cal_mel,
+        snr_budget_db=20.0,
+    )
+    assert healthy.requested_cond_impl == "auto"
+    assert healthy.cond_impl == "int8"
+    assert healthy.calibration_snr_db > 20.0
+    assert healthy._packed_cond is not None
+
+    # Hostile profile: strongly scaling couplings (×24 end-conv gain)
+    # amplify the int8 rounding error, and per-row outliers (126× the
+    # weight max) blow the per-out-channel scales so every other entry
+    # quantizes to ~zero — measured -5 dB worst-utterance at this config
+    # vs 47.8 dB healthy.
+    hostile_params = jax.tree_util.tree_map(np.array, wg_params)
+    for wn in hostile_params["wn"]:
+        wn["end"]["weight"] = wn["end"]["weight"] * 24.0
+        for p in wn["cond_layers"]:
+            p["weight"][:, 0, 0] = 126.0 * np.abs(p["weight"]).max()
+    hostile = FusedSynthesizer(
+        t2_cfg, t2_params, t2_state, wg_cfg, hostile_params, deps=deps,
+        max_frames=16, cond_impl="auto", calibration_mel=cal_mel,
+        snr_budget_db=20.0,
+    )
+    assert hostile.cond_impl == "dense"
+    assert hostile.calibration_snr_db < 20.0
+    assert hostile._packed_cond is None
+
+    # the gate refuses to run blind
+    with pytest.raises(ValueError, match="calibration_mel"):
+        FusedSynthesizer(
+            t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps=deps,
+            max_frames=16, cond_impl="auto",
+        )
+
+    # streaming stack passthrough (the CLI's construction path)
+    conv = StreamingAccentConverter(
+        t2_cfg, t2_params, t2_state, wg_cfg, wg_params, deps=deps,
+        fused=True, batch_size=2, cond_impl="auto",
+        calibration_mel=cal_mel, snr_budget_db=20.0,
+    )
+    assert conv.fused.cond_impl == "int8"

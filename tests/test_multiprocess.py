@@ -10,9 +10,11 @@ Tacotron2 DP train step, (b) the same step DP x TP on an (N data x
 2 model) mesh whose data axis crosses the process boundaries, and (c)
 one fused DP serving call (batched gate-stopped decode -> vocoder) with
 the utterance batch sharded across all processes.  Every phase must
-agree across workers AND with a single-process replay.  The 4-process
-variant runs in the slow tier (4 concurrent XLA compiles on the CI
-box); the 2-process variant guards the protocol by default.
+agree across workers AND with a single-process replay.  Both variants
+are slow-tier (the 2-process variant alone measures ~6 min on the CI
+box — N concurrent XLA compiles plus the replay); the default tier
+guards sharded execution through the single-process smoke tests in
+tests/test_smoke_families.py instead.
 """
 
 from __future__ import annotations

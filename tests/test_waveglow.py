@@ -337,3 +337,35 @@ def test_int8_snr_detailed_and_fallback(params, batch):
     impl2, worst2 = select_cond_impl(CFG, inf_params, spect[:2],
                                      budget_db=1e9)
     assert impl2 == "dense" and worst2 == worst
+
+
+def test_select_cond_impl_hostile_checkpoint(params, batch):
+    """The cond_impl='auto' gate mechanism: a quantization-hostile
+    checkpoint (couplings that amplify error — large end-conv gains — plus
+    per-row outliers that blow up the per-out-channel int8 weight scales)
+    must fall back to dense under the same budget a healthy checkpoint
+    passes.  This is the failure mode the reference's analogous lossy
+    fp16 serving flag (src/waveglow/inference.py:38-41) ships silently."""
+    from fac_via_ppg_tpu.eval.int8_snr import select_cond_impl
+
+    spect, _ = batch
+    inf_params = remove_weightnorm(params)
+    k = jax.random.PRNGKey(3)
+    for wn in inf_params["wn"]:
+        k, sub = jax.random.split(k)
+        wn["end"]["weight"] = 0.05 * jax.random.normal(
+            sub, wn["end"]["weight"].shape, jnp.float32
+        )
+
+    impl, worst = select_cond_impl(CFG, inf_params, spect[:2],
+                                   budget_db=20.0)
+    assert impl == "int8" and worst > 20.0, (impl, worst)
+
+    hostile = jax.tree_util.tree_map(np.array, inf_params)
+    for wn in hostile["wn"]:
+        wn["end"]["weight"] = wn["end"]["weight"] * 8.0
+        for p in wn["cond_layers"]:
+            p["weight"][:, 0, 0] = 100.0 * np.abs(p["weight"]).max()
+    impl2, worst2 = select_cond_impl(CFG, hostile, spect[:2],
+                                     budget_db=20.0)
+    assert impl2 == "dense" and worst2 < 20.0, (impl2, worst2)

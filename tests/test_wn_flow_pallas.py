@@ -177,3 +177,37 @@ def test_waveglow_infer_flow_impl(params):
                           cond_impl="int8", flow_tile=128)
     np.testing.assert_allclose(np.asarray(got8), np.asarray(want8),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_wide_group_derives_p_ch():
+    """n_group > 8 (2*n_half wider than the old hard-coded p_ch=8):
+    pack_wn_flow derives a sublane-aligned channel padding and the kernel
+    still reproduces wn_apply, instead of failing at pack time with a
+    broadcast error (round-4 advisor finding)."""
+    cfg = WaveGlowConfig(
+        n_mel_channels=16, n_flows=2, n_group=16, n_early_every=4,
+        wn_n_layers=2, wn_n_channels=64, upsample_kernel_size=32,
+    )
+    p = remove_weightnorm(init_waveglow(jax.random.PRNGKey(2), cfg))
+    wn = p["wn"][0]
+    wn["end"]["weight"] = 0.1 * jnp.ones_like(wn["end"]["weight"])
+    n_half = wn["start"]["weight"].shape[1]
+    assert 2 * n_half == 16  # wider than the old default
+
+    pack = pack_wn_flow(wn, cfg.wn_n_layers)
+    assert pack["w_end"].shape[0] == 16 and pack["w_start"].shape[1] == 16
+
+    B, T, tile = 2, 200, 128
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    audio_half = jax.random.normal(k1, (B, n_half, T), jnp.float32)
+    spect_g = jax.random.normal(
+        k2, (B, cfg.n_mel_channels * cfg.n_group, T), jnp.float32
+    )
+    t_pad, halo, _ = flow_buf_geometry(T, tile, cfg.wn_n_layers)
+    cond = _cond_padded(wn, spect_g, t_pad, halo)
+    got = wn_flow_pallas(pack, audio_half, cond, cfg.wn_n_layers, T,
+                         tile=tile, interpret=True)
+    want = wn_apply(cfg=cfg, wn=wn, audio_half=audio_half,
+                    spect_grouped=spect_g)
+    np.testing.assert_allclose(np.asarray(got[:, : 2 * n_half, :T]),
+                               np.asarray(want), atol=2e-5, rtol=2e-4)
