@@ -37,7 +37,8 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
                        warmup: int = 3, iters: int = 10,
                        wn_impl: str = "xla",
                        cond_impl: str = "int8",
-                       repeats: int = 1) -> dict:
+                       repeats: int = 1,
+                       wn_int8_flows: int = 0) -> dict:
     from fac_via_ppg_tpu.configs.hparams import WaveGlowConfig
     from fac_via_ppg_tpu.models.waveglow import (
         init_waveglow,
@@ -86,6 +87,11 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
         from fac_via_ppg_tpu.models.waveglow import pack_waveglow_int8cond
 
         packed_cond = pack_waveglow_int8cond(cfg, params)
+    packed_wn8 = None
+    if wn_int8_flows:
+        from fac_via_ppg_tpu.models.waveglow import pack_waveglow_wn_int8
+
+        packed_wn8 = pack_waveglow_wn_int8(cfg, params)
 
     _infer_cache = {}
 
@@ -119,7 +125,9 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
                                    wn_impl=wn_impl,
                                    cond_impl=_ci,
                                    packed_cond=_pc,
-                                   packed_wn=pk).astype(
+                                   packed_wn=pk,
+                                   wn_int8_flows=wn_int8_flows,
+                                   packed_wn_int8=packed_wn8).astype(
                         jnp.float32
                     )
                 )
@@ -168,6 +176,7 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
         "device": str(jax.devices()[0]),
         "wn_impl": wn_impl,
         "cond_impl": cond_impl,
+        "wn_int8_flows": wn_int8_flows,
     }
     if len(runs) > 1:
         detail["rtf_runs"] = [round(r, 2) for r in runs]
@@ -187,7 +196,7 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
             detail["rtf_pipelined_runs"] = [round(r, 2) for r in piped_runs]
     except Exception as exc:  # pragma: no cover
         detail["rtf_pipelined_error"] = str(exc)[:200]
-    if cond_impl != "dense":
+    if cond_impl != "dense" and not wn_int8_flows:
         try:
             # the dense bf16 figure (rounds 1-2's headline protocol) so
             # the int8 gain is visible inside one artifact
@@ -195,6 +204,17 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
             detail["rtf_bf16_dense"] = round(rtf_dense, 2)
         except Exception as exc:  # pragma: no cover
             detail["rtf_bf16_dense_error"] = str(exc)[:200]
+    if wn_int8_flows:
+        # experimental-rung invocation: skip the comparator rows (each
+        # costs a multi-minute tunnel compile and measures programs the
+        # plain `bench.py --repeats N` baseline already covers)
+        return {
+            "metric": "waveglow_rtf",
+            "value": round(rtf_bf16, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round(rtf_bf16 / 50.0, 3),
+            "detail": detail,
+        }
     try:
         # secondary f32 figure; skipped if anything goes wrong so the
         # headline line always prints (the f32 path costs its own ~3 min
@@ -538,7 +558,8 @@ def bench_train_ppg2mel(warmup: int = 3, iters: int = 20,
 
 def bench_train_waveglow(warmup: int = 3, iters: int = 20,
                          train_dtype: str = "float32",
-                         batch: int = 3, remat: bool = False) -> dict:
+                         batch: int = 3, remat: bool = False,
+                         grouped_upsample: bool = False) -> dict:
     """BASELINE config 4: WaveGlow training step at the reference config
     (batch 3, 10000-sample segments, sigma 0.7071).
     `--train_dtype bfloat16` measures the mixed-precision step; `--batch`
@@ -556,7 +577,7 @@ def bench_train_waveglow(warmup: int = 3, iters: int = 20,
         cfg, optimizer, sigma=0.7071, donate=False,
         compute_dtype=(None if train_dtype == "float32"
                        else jnp.dtype(train_dtype)),
-        remat=remat,
+        remat=remat, grouped_upsample=grouped_upsample,
     )
 
     B, seg = batch, 10000
@@ -579,6 +600,7 @@ def bench_train_waveglow(warmup: int = 3, iters: int = 20,
         "vs_baseline": round(B * (seg / 16000.0) / s_per_it, 2),
         "detail": {"batch": B, "segment": seg, "iters": iters,
                    "train_dtype": train_dtype, "remat": remat,
+                   "grouped_upsample": grouped_upsample,
                    "device": str(jax.devices()[0])},
     }
 
@@ -617,6 +639,17 @@ if __name__ == "__main__":
     parser.add_argument("--pipeline_depth", type=int, default=2,
                         help="streaming_fused micro-batches in flight "
                              "(2 overlaps device exec with PCM readback)")
+    parser.add_argument("--grouped_upsample", action="store_true",
+                        help="train_waveglow config: emit the grouped "
+                             "spect straight from the upsampler's phase "
+                             "layout (layout A/B for the step's "
+                             "group/ungroup copy family)")
+    parser.add_argument("--wn_int8_flows", type=int, default=0,
+                        help="rtf config: additionally run the WN in_conv "
+                             "dilated convs of the N narrowest flows on "
+                             "the int8 MXU (experimental rung; measure "
+                             "the SNR ladder first — "
+                             "eval/int8_snr include_wn_int8)")
     parser.add_argument("--repeats", type=int, default=1,
                         help="rtf config: re-time the measured window N "
                              "times; JSON value = median, detail carries "
@@ -627,7 +660,8 @@ if __name__ == "__main__":
     runners = {
         "rtf": lambda: bench_waveglow_rtf(wn_impl=args.wn_impl,
                                           cond_impl=args.cond_impl,
-                                          repeats=args.repeats),
+                                          repeats=args.repeats,
+                                          wn_int8_flows=args.wn_int8_flows),
         "e2e": bench_e2e_latency,
         "e2e_fused": lambda: bench_e2e_fused(cond_impl=args.cond_impl),
         "e2e_fused_batch":
@@ -645,8 +679,8 @@ if __name__ == "__main__":
                                         batch=args.batch or 6,
                                         remat=args.remat),
         "train_waveglow":
-            lambda: bench_train_waveglow(train_dtype=args.train_dtype,
-                                        batch=args.batch or 3,
-                                        remat=args.remat),
+            lambda: bench_train_waveglow(
+                train_dtype=args.train_dtype, batch=args.batch or 3,
+                remat=args.remat, grouped_upsample=args.grouped_upsample),
     }
     print(json.dumps(runners[args.config]()))

@@ -102,6 +102,7 @@ def _snr_db(ref: np.ndarray, got: np.ndarray) -> float:
 def run_ladder(cfg: WaveGlowConfig, params, mel: jnp.ndarray,
                sigma: float = 0.6, seed: int = 0,
                include_tensorscale: bool = False,
+               include_wn_int8: bool = False,
                detailed: bool = False) -> dict:
     """{name: SNR dB vs f32-dense} for each reduced-precision mode.
 
@@ -109,41 +110,56 @@ def run_ladder(cfg: WaveGlowConfig, params, mel: jnp.ndarray,
     int8 rungs for A/B measurement — opt-in because each rung compiles a
     full WaveGlow program (~3 min on the real chip's tunnel).
 
+    include_wn_int8 adds the experimental WN in_conv quantization rungs
+    (bf16 + int8 cond + wn_int8_flows of 4/8/12 — the SNR-vs-flows-
+    quantized curve the round-4 verdict asked to measure rather than
+    assert away); same opt-in compile cost caveat.
+
     detailed=True returns {name: {"db", "per_utt_db", "worst_utt_db"}}
     instead of bare floats: per_utt_db is the SNR of each batch row
     (utterance) separately, worst_utt_db its minimum — the quality gate
     should be judged on the worst utterance, not the batch mean.
     """
     from fac_via_ppg_tpu.models.waveglow import (
-        pack_waveglow_int8cond, waveglow_infer,
+        pack_waveglow_int8cond, pack_waveglow_wn_int8, waveglow_infer,
     )
 
     noise = matched_noise(cfg, mel.shape[0], mel.shape[2], seed)
     packed = pack_waveglow_int8cond(cfg, params)
 
-    def run(dtype, cond_impl, cond_quant="column"):
+    def run(dtype, cond_impl, cond_quant="column", wn_flows=0, wn8=None):
         fn = jax.jit(lambda p, m: waveglow_infer(
             cfg, p, m, sigma, None, dtype=dtype, noise=noise,
             cond_impl=cond_impl, cond_quant=cond_quant,
-            packed_cond=(packed if cond_impl == "int8" else None)))
+            packed_cond=(packed if cond_impl == "int8" else None),
+            wn_int8_flows=wn_flows, packed_wn_int8=wn8))
         return np.asarray(fn(params, mel), np.float64)
 
     ref = run(jnp.float32, "dense")
     rungs = [
-        ("bf16_dense", jnp.bfloat16, "dense", "column"),
-        ("bf16_int8", jnp.bfloat16, "int8", "column"),
-        ("f32_int8", jnp.float32, "int8", "column"),
+        ("bf16_dense", jnp.bfloat16, "dense", "column", 0),
+        ("bf16_int8", jnp.bfloat16, "int8", "column", 0),
+        ("f32_int8", jnp.float32, "int8", "column", 0),
     ]
     if include_tensorscale:
         # per-tensor activation scales: the pre-round-3 int8 mode, kept
         # measurable so the per-column win is an A/B on one checkpoint
         rungs += [
-            ("bf16_int8_tensorscale", jnp.bfloat16, "int8", "tensor"),
-            ("f32_int8_tensorscale", jnp.float32, "int8", "tensor"),
+            ("bf16_int8_tensorscale", jnp.bfloat16, "int8", "tensor", 0),
+            ("f32_int8_tensorscale", jnp.float32, "int8", "tensor", 0),
+        ]
+    wn8_pack = None
+    if include_wn_int8:
+        wn8_pack = pack_waveglow_wn_int8(cfg, params)
+        rungs += [
+            (f"bf16_int8_wn{n}", jnp.bfloat16, "int8", "column", n)
+            for n in (4, 8, cfg.n_flows)
+            if n <= cfg.n_flows
         ]
     out = {}
-    for name, dtype, ci, cq in rungs:
-        got = run(dtype, ci, cq)
+    for name, dtype, ci, cq, wn_n in rungs:
+        got = run(dtype, ci, cq, wn_flows=wn_n,
+                  wn8=(wn8_pack if wn_n else None))
         if detailed:
             per_utt = [_snr_db(ref[b], got[b]) for b in range(ref.shape[0])]
             out[name] = {"db": _snr_db(ref, got), "per_utt_db": per_utt,
@@ -206,6 +222,10 @@ def main(argv=None):
     parser.add_argument("--include_tensorscale", action="store_true",
                         help="add the per-tensor-scale A/B rungs (two "
                              "extra full-program compiles)")
+    parser.add_argument("--include_wn_int8", action="store_true",
+                        help="add the experimental WN in_conv int8 rungs "
+                             "(wn_int8_flows 4/8/12; one full-program "
+                             "compile each)")
     args = parser.parse_args(argv)
 
     cfg = (waveglow_config_from_json(args.config) if args.config
@@ -225,6 +245,7 @@ def main(argv=None):
 
     ladder = run_ladder(cfg, params, mel, args.sigma, args.seed,
                         include_tensorscale=args.include_tensorscale,
+                        include_wn_int8=args.include_wn_int8,
                         detailed=True)
     print(json.dumps({"snr_db_vs_f32_dense": ladder,
                       "mel_shape": list(mel.shape),

@@ -151,6 +151,65 @@ def init_waveglow(key, cfg: WaveGlowConfig):
 # upsampler
 # ==========================================================================
 
+def _upsample_phases(p: dict, spect: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """Core of the phase-decomposed transpose conv: (B, C_in, F) ->
+    (B, F, hop, C_out) f32-accumulated phases (see upsample_phase_matmul)."""
+    weight = p["weight"]  # (C_in, C_out, K) torch layout
+    c_in, c_out, k = weight.shape
+    j_taps = -(-k // hop)  # ceil
+    # (J, hop, C_in, C_out), zero beyond kernel length
+    w = jnp.zeros((j_taps * hop, c_in, c_out), weight.dtype)
+    w = w.at[:k].set(weight.transpose(2, 0, 1))
+    w = w.reshape(j_taps, hop, c_in, c_out)
+    # (J*C_in, hop*C_out)
+    w_mat = w.transpose(0, 2, 1, 3).reshape(j_taps * c_in, hop * c_out)
+
+    B, _, F = spect.shape
+    x = spect.transpose(0, 2, 1)  # (B, F, C_in)
+    x_pad = jnp.pad(x, ((0, 0), (j_taps - 1, 0), (0, 0)))
+    # stacked shifts: x_shift[:, q, j, :] = x[q - j]
+    shifts = [x_pad[:, j_taps - 1 - j : j_taps - 1 - j + F]
+              for j in range(j_taps)]
+    x_cat = jnp.concatenate(shifts, axis=-1)  # (B, F, J*C_in)
+
+    out = jnp.dot(x_cat, w_mat, preferred_element_type=jnp.float32)
+    out = out.reshape(B, F, hop, c_out)
+    if "bias" in p:
+        out = out + p["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)  # fp32 accumulation, compute-dtype output
+
+
+def upsample_grouped(p: dict, spect: jnp.ndarray, hop: int, n_group: int,
+                     t_samples: int = None) -> jnp.ndarray:
+    """upsample_phase_matmul + group_spect fused at the layout level.
+
+    The phase matmul's natural (B, F, hop, C) output goes straight into
+    the grouped (B, C*n_group, G) layout with ONE transpose, never
+    materializing the intermediate (B, C, F*hop) that group_spect would
+    immediately re-shuffle — the round-4 training trace attributes
+    ~13 ms/call of the WaveGlow step to exactly this group/ungroup copy
+    family (docs/PERF.md training roofline).  Output sample
+    t = f*hop + q*n_group + n lands at grouped[b, m*n_group + n,
+    f*(hop/n_group) + q] — identical values to
+    group_spect(upsample_phase_matmul(...)[:, :, :t_samples], n_group).
+
+    Requires hop % n_group == 0 and (when slicing to audio length)
+    t_samples % n_group == 0; callers fall back to the two-step path
+    otherwise.
+    """
+    if hop % n_group:
+        raise ValueError(f"hop {hop} not a multiple of n_group {n_group}")
+    out = _upsample_phases(p, spect, hop)        # (B, F, hop, C)
+    B, F, _, C = out.shape
+    q = hop // n_group
+    x = out.reshape(B, F, q, n_group, C)
+    x = x.transpose(0, 4, 3, 1, 2)               # (B, C, n_group, F, q)
+    x = x.reshape(B, C * n_group, F * q)
+    if t_samples is not None:
+        x = x[:, :, : t_samples // n_group]
+    return x
+
+
 def upsample_phase_matmul(p: dict, spect: jnp.ndarray, hop: int) -> jnp.ndarray:
     """ConvTranspose1d(k=1024, stride=hop) as one phase-decomposed matmul.
 
@@ -169,28 +228,8 @@ def upsample_phase_matmul(p: dict, spect: jnp.ndarray, hop: int) -> jnp.ndarray:
 
     Returns (B, C_out, F*hop).
     """
-    weight = p["weight"]  # (C_in, C_out, K) torch layout
-    c_in, c_out, k = weight.shape
-    j_taps = -(-k // hop)  # ceil
-    # (J, hop, C_in, C_out), zero beyond kernel length
-    w = jnp.zeros((j_taps * hop, c_in, c_out), weight.dtype)
-    w = w.at[:k].set(weight.transpose(2, 0, 1))
-    w = w.reshape(j_taps, hop, c_in, c_out)
-    # (J*C_in, hop*C_out)
-    w_mat = w.transpose(0, 2, 1, 3).reshape(j_taps * c_in, hop * c_out)
-
-    B, _, F = spect.shape
-    x = spect.transpose(0, 2, 1)  # (B, F, C_in)
-    x_pad = jnp.pad(x, ((0, 0), (j_taps - 1, 0), (0, 0)))
-    # stacked shifts: x_shift[:, q, j, :] = x[q - j]
-    shifts = [x_pad[:, j_taps - 1 - j : j_taps - 1 - j + F] for j in range(j_taps)]
-    x_cat = jnp.concatenate(shifts, axis=-1)  # (B, F, J*C_in)
-
-    out = jnp.dot(x_cat, w_mat, preferred_element_type=jnp.float32)
-    out = out.reshape(B, F, hop, c_out)
-    if "bias" in p:
-        out = out + p["bias"].astype(jnp.float32)
-    out = out.astype(x.dtype)  # fp32 accumulation, compute-dtype output
+    out = _upsample_phases(p, spect, hop)  # (B, F, hop, C_out)
+    B, F, _, c_out = out.shape
     return out.reshape(B, F * hop, c_out).transpose(0, 2, 1)
 
 
@@ -258,6 +297,80 @@ def pack_waveglow_int8cond(cfg: WaveGlowConfig, params: dict) -> list:
     return packed
 
 
+def pack_waveglow_wn_int8(cfg: WaveGlowConfig, params: dict) -> list:
+    """Per-flow int8 packing of the WN in_layer dilated convs (per-OUT-
+    CHANNEL symmetric weight scales shared across the 3 taps).  Precompute
+    ONCE outside jit; feed to waveglow_infer(wn_int8_flows=n,
+    packed_wn_int8=...).
+
+    This is the round-4 verdict's "next quantization rung": the 96 dilated
+    in_convs are the largest kernel family of the inference program
+    (297.9 ms of 647 ms, docs/PERF.md per-kernel breakdown) and the
+    program is HBM-saturated — int8 halves both their MXU time and the
+    hidden-state read bytes.  Unlike the cond matmul (whose input is
+    constant across flows), the in_conv consumes the flow's own hidden
+    state, so the error feeds back through the remaining couplings —
+    quantize a flow SUFFIX (the narrow, late-in-inference flows k <
+    wn_int8_flows) and measure the SNR-vs-flows-quantized ladder before
+    serving with it.  Reference hot loop: glow.py:133-152.
+    """
+    fold = lambda p: _weight_norm_fold(p) if "v" in p else p  # noqa: E731
+    packed = []
+    for wn in params["wn"]:
+        layers = []
+        for p in wn["in_layers"]:
+            p = fold(p)
+            w = p["weight"].astype(jnp.float32)            # (2C, C, 3)
+            w_scale = jnp.maximum(
+                jnp.max(jnp.abs(w), axis=(1, 2)), 1e-8
+            ) / 127.0                                       # (2C,)
+            wq = jnp.clip(
+                jnp.round(w / w_scale[:, None, None]), -127, 127
+            ).astype(jnp.int8)
+            layers.append({
+                "wq": wq.transpose(2, 0, 1),                # (3, 2C, C)
+                "w_scale": w_scale,
+                "bias": p["bias"].astype(jnp.float32),
+            })
+        packed.append(layers)
+    return packed
+
+
+def _in_conv_int8(pk: dict, x: jnp.ndarray, dilation: int) -> jnp.ndarray:
+    """The WN in_layer dilated conv on the int8 MXU.
+
+    The k=3 conv is decomposed into its 3 taps — out[t] = sum_j
+    W[:, :, j] @ x[t + (j-1)*d] — so each tap is a plain channel
+    contraction and the PER-COLUMN activation scale (exact, locally
+    adaptive: quantize_per_column_int8) sits outside its int32
+    accumulator.  Tap shifts use zero padding, matching the XLA conv's
+    sequence-edge semantics exactly.  The three int32 partials dequantize
+    through (x_scale[shifted column] * w_scale[out]) and sum in f32; XLA
+    fuses the dequant chain into the surrounding elementwise epilogue.
+    """
+    xq, xs = quantize_per_column_int8(x)                    # int8, (B, G)
+    G = x.shape[-1]
+    acc = None
+    for j in range(3):
+        shift = (j - 1) * dilation
+        if shift < 0:
+            xq_s = jnp.pad(xq, ((0, 0), (0, 0), (-shift, 0)))[:, :, :G]
+            xs_s = jnp.pad(xs, ((0, 0), (-shift, 0)))[:, :G]
+        elif shift > 0:
+            xq_s = jnp.pad(xq, ((0, 0), (0, 0), (0, shift)))[:, :, shift:]
+            xs_s = jnp.pad(xs, ((0, 0), (0, shift)))[:, shift:]
+        else:
+            xq_s, xs_s = xq, xs
+        part = jnp.einsum(
+            "oc,bcg->bog", pk["wq"][j], xq_s,
+            preferred_element_type=jnp.int32,
+        )
+        term = part.astype(jnp.float32) * xs_s[:, None, :]
+        acc = term if acc is None else acc + term
+    out = acc * pk["w_scale"][None, :, None] + pk["bias"][None, :, None]
+    return out.astype(x.dtype)
+
+
 def _cond_all(cfg: WaveGlowConfig, wn: dict, spect_grouped: jnp.ndarray,
               cond_int8, out_dtype) -> jnp.ndarray:
     """All wn_n_layers cond projections as ONE stacked (B, L*2C, G) matmul
@@ -291,7 +404,8 @@ def _cond_all(cfg: WaveGlowConfig, wn: dict, spect_grouped: jnp.ndarray,
 
 
 def wn_apply(cfg: WaveGlowConfig, wn: dict, audio_half: jnp.ndarray,
-             spect_grouped: jnp.ndarray, cond_int8=None) -> jnp.ndarray:
+             spect_grouped: jnp.ndarray, cond_int8=None,
+             in_int8=None) -> jnp.ndarray:
     """(B, n_half, T) x (B, 640, T) -> (B, 2*n_half, T) coupling output.
 
     All cond-layer projections are computed in one stacked matmul up front —
@@ -301,6 +415,11 @@ def wn_apply(cfg: WaveGlowConfig, wn: dict, audio_half: jnp.ndarray,
     dense matmul with the int8 MXU version (pack_waveglow_int8cond); the
     int32 accumulator dequantizes through scale_x * scale_w[out] straight
     into the compute dtype.
+
+    `in_int8` (this flow's pack_waveglow_wn_int8 entry; k=3 convs only)
+    runs the dilated in_layer convs on the int8 MXU via the tap
+    decomposition (_in_conv_int8) — the experimental WN activation
+    quantization rung; measure the SNR ladder before serving with it.
     """
     C = cfg.wn_n_channels
     audio = _wn_conv_apply(wn["start"], audio_half)
@@ -311,9 +430,14 @@ def wn_apply(cfg: WaveGlowConfig, wn: dict, audio_half: jnp.ndarray,
     for i in range(cfg.wn_n_layers):
         dilation = 2**i
         pad = (cfg.wn_kernel_size * dilation - dilation) // 2
-        in_act = _wn_conv_apply(
-            wn["in_layers"][i], audio, padding=pad, dilation=dilation
-        ) + cond_per_layer[i]
+        if in_int8 is not None and cfg.wn_kernel_size == 3:
+            in_act = _in_conv_int8(
+                in_int8[i], audio, dilation
+            ) + cond_per_layer[i]
+        else:
+            in_act = _wn_conv_apply(
+                wn["in_layers"][i], audio, padding=pad, dilation=dilation
+            ) + cond_per_layer[i]
         # fused add-tanh-sigmoid-multiply (glow.py:33-40) — XLA fuses this.
         t_act = jnp.tanh(in_act[:, :C])
         s_act = jax.nn.sigmoid(in_act[:, C:])
@@ -502,7 +626,8 @@ def ungroup_audio(audio: jnp.ndarray) -> jnp.ndarray:
 # ==========================================================================
 
 def waveglow_forward(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
-                     audio: jnp.ndarray, remat: bool = False):
+                     audio: jnp.ndarray, remat: bool = False,
+                     grouped_upsample: bool = False):
     """((B, 80, F) mel, (B, T) audio) -> (z, log_s_list, log_det_w_list).
 
     `remat=True` wraps each flow in `jax.checkpoint`: the backward pass
@@ -511,13 +636,24 @@ def waveglow_forward(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
     ~the WN depth for ~1/3 extra backward FLOPs, unlocking training
     batches that otherwise exceed HBM (docs/PERF.md).  Numerically it
     replays the identical ops, so the loss/grads match the unremat step.
+
+    `grouped_upsample=True` (hop % n_group == 0 only) emits the grouped
+    spect straight from the upsampler's phase layout (upsample_grouped),
+    skipping the (B, 80, T_samp) intermediate — the layout experiment for
+    the train step's ~13 ms group/ungroup copy family (docs/PERF.md
+    round-4 training roofline); identical values either way.
     """
-    spect_up = upsample_phase_matmul(
-        params["upsample"], spect, cfg.hop_length
-    )
     T = audio.shape[1]
-    spect_up = spect_up[:, :, :T]
-    spect_g = group_spect(spect_up, cfg.n_group)
+    if grouped_upsample:
+        spect_g = upsample_grouped(
+            params["upsample"], spect, cfg.hop_length, cfg.n_group,
+            t_samples=(T // cfg.n_group) * cfg.n_group,
+        )
+    else:
+        spect_up = upsample_phase_matmul(
+            params["upsample"], spect, cfg.hop_length
+        )
+        spect_g = group_spect(spect_up[:, :, :T], cfg.n_group)
     audio_g = group_audio(audio, cfg.n_group)
     B, _, G = audio_g.shape
 
@@ -612,6 +748,9 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
                    cond_impl: str = "dense",
                    packed_cond=None,
                    cond_quant: str = "column",
+                   wn_int8_flows: int = 0,
+                   packed_wn_int8=None,
+                   grouped_upsample: bool = False,
                    flow_tile: int = 4096) -> jnp.ndarray:
     """(B, 80, F) mel -> (B, T) audio (reference glow.py:252-293).
 
@@ -645,6 +784,14 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
     pack_waveglow_int8cond to keep the weight quantization out of the
     per-call path).  Lossy — opt in only with a measured SNR budget
     (docs/PERF.md).
+
+    `wn_int8_flows=n` (xla path, kernel_size 3 only) additionally runs
+    the WN in_layer dilated convs of the n NARROWEST flows (k < n, the
+    late-in-inference suffix) on the int8 MXU via the tap decomposition
+    (_in_conv_int8; pass `packed_wn_int8` from pack_waveglow_wn_int8).
+    Experimental quantization rung — unlike the cond matmul this error
+    feeds back through the remaining couplings; measure the SNR ladder
+    (eval/int8_snr.run_ladder include_wn_int8) before serving with it.
     """
     if dtype is not None:
         # 1x1 inverses stay fp32 like the reference's is_fp16 path.
@@ -656,11 +803,16 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
         spect = spect.astype(dtype)
     # Phase-decomposed transpose conv already yields exactly F*hop samples,
     # i.e. the reference's artifact cutoff (k - hop) is built in
-    # (glow.py:254-256).
-    spect_up = upsample_phase_matmul(
-        params["upsample"], spect, cfg.hop_length
-    )
-    spect_g = group_spect(spect_up, cfg.n_group)
+    # (glow.py:254-256).  grouped_upsample: see waveglow_forward.
+    if grouped_upsample:
+        spect_g = upsample_grouped(
+            params["upsample"], spect, cfg.hop_length, cfg.n_group
+        )
+    else:
+        spect_up = upsample_phase_matmul(
+            params["upsample"], spect, cfg.hop_length
+        )
+        spect_g = group_spect(spect_up, cfg.n_group)
     B, _, G = spect_g.shape
 
     chans = flow_channels(cfg)
@@ -705,6 +857,14 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
         # over it so the kernel windows line up without re-padding the
         # 8x larger cond tensor (ops/wn_flow_pallas.py docstring)
         spect_g_pad = pad_time_for_flow(spect_g, t_pad, halo)
+    wn8 = None
+    if wn_int8_flows:
+        if wn_impl != "xla":
+            raise ValueError("wn_int8_flows requires wn_impl='xla'")
+        if cfg.wn_kernel_size != 3:
+            raise ValueError("wn_int8_flows supports wn_kernel_size=3 "
+                             f"only, got {cfg.wn_kernel_size}")
+        wn8 = packed_wn_int8 or pack_waveglow_wn_int8(cfg, params)
     cond_q = None
     if cond_impl == "int8":
         if cond_quant not in ("column", "tensor"):
@@ -744,6 +904,8 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
                 cfg, params["wn"][k], audio_0, spect_g,
                 cond_int8=(None if cond_q is None
                            else (cond_q[0], cond_q[1], cond_q[2][k])),
+                in_int8=(wn8[k] if wn8 is not None
+                         and k < wn_int8_flows else None),
             )
         s = wn_out[:, n_half:]
         b = wn_out[:, :n_half]

@@ -190,7 +190,8 @@ def make_tacotron2_eval_step(cfg: Tacotron2Config, mel_weight: float = 1.0,
 
 def make_waveglow_train_step(cfg: WaveGlowConfig, optimizer, sigma: float,
                              donate: bool = True, compute_dtype=None,
-                             grad_accum: int = 1, remat: bool = False):
+                             grad_accum: int = 1, remat: bool = False,
+                             grouped_upsample: bool = False):
     """Returns jitted (params, opt_state, batch) -> StepOut.
 
     batch = (mel (B, 80, F), audio (B, T)).
@@ -203,7 +204,10 @@ def make_waveglow_train_step(cfg: WaveGlowConfig, optimizer, sigma: float,
     per-element-normalized over fixed-size segments).  `remat`
     rematerializes each flow in the backward pass (jax.checkpoint):
     ~WN-depth less activation memory for ~1/3 extra backward FLOPs —
-    the lever for batches that otherwise exceed HBM.
+    the lever for batches that otherwise exceed HBM.  `grouped_upsample`
+    emits the grouped spect straight from the upsampler's phase layout
+    (identical values; the layout A/B for the step's group/ungroup copy
+    family — models/waveglow.upsample_grouped).
     """
 
     def loss_fn(params, batch):
@@ -212,7 +216,8 @@ def make_waveglow_train_step(cfg: WaveGlowConfig, optimizer, sigma: float,
             params = _cast_floats(params, compute_dtype)
             mel = mel.astype(compute_dtype)
             audio = audio.astype(compute_dtype)
-        out = waveglow_forward(cfg, params, mel, audio, remat=remat)
+        out = waveglow_forward(cfg, params, mel, audio, remat=remat,
+                               grouped_upsample=grouped_upsample)
         return waveglow_loss(out, sigma=sigma)
 
     def step(params, opt_state, batch):

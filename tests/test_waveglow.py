@@ -369,3 +369,135 @@ def test_select_cond_impl_hostile_checkpoint(params, batch):
     impl2, worst2 = select_cond_impl(CFG, hostile, spect[:2],
                                      budget_db=20.0)
     assert impl2 == "dense" and worst2 < 20.0, (impl2, worst2)
+
+
+def test_in_conv_int8_tap_exactness():
+    """The tap-decomposed int8 in_conv (_in_conv_int8) must reproduce the
+    dilated XLA conv EXACTLY when weights and activations are
+    int8-representable: proves tap alignment, per-column dequant, and the
+    sequence-edge zero padding — the parts a plausible-but-wrong shift
+    would silently corrupt."""
+    from fac_via_ppg_tpu.models.waveglow import _in_conv_int8
+    from fac_via_ppg_tpu.ops.initializers import conv1d_apply
+
+    rng = np.random.RandomState(5)
+    B, C, G = 2, 16, 40
+    out_ch = 2 * C
+    for dilation in (1, 2, 4):
+        # activations: integer grids per column, every column containing
+        # +/-127 so the dynamic per-column scale is exactly s_g
+        q = rng.randint(-127, 128, size=(B, C, G)).astype(np.float32)
+        q[:, 0, :] = 127.0
+        s_col = (0.01 + rng.rand(B, G)).astype(np.float32)
+        x = jnp.asarray(q) * jnp.asarray(s_col)[:, None, :] / 127.0
+        # weights: integer grid per out row, max entry exactly 127
+        wq = rng.randint(-127, 128, size=(out_ch, C, 3)).astype(np.float32)
+        wq[:, 0, 0] = 127.0
+        w_s = (0.001 + 0.01 * rng.rand(out_ch)).astype(np.float32)
+        w = jnp.asarray(wq * w_s[:, None, None] / 127.0)
+        bias = jnp.asarray(rng.randn(out_ch).astype(np.float32) * 0.1)
+
+        pad = (3 * dilation - dilation) // 2
+        want = conv1d_apply({"weight": w, "bias": bias}, x,
+                            padding=pad, dilation=dilation)
+        pk = {
+            "wq": jnp.asarray(wq.transpose(2, 0, 1), jnp.int8),
+            "w_scale": jnp.asarray(w_s / 127.0),
+            "bias": bias,
+        }
+        got = _in_conv_int8(pk, x, dilation)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5,
+            err_msg=f"tap-decomposed int8 conv wrong at dilation {dilation}",
+        )
+
+
+def test_wn_int8_flows_rung(params, batch):
+    """The experimental WN in_conv quantization rung: wn_int8_flows=0 is
+    bitwise the dense program, a quantized flow suffix stays close to
+    dense (the SNR-vs-flows curve the ladder measures), and the ladder
+    harness emits the wn rung rows."""
+    from fac_via_ppg_tpu.eval.int8_snr import run_ladder
+    from fac_via_ppg_tpu.models.waveglow import pack_waveglow_wn_int8
+
+    spect, _ = batch
+    inf_params = remove_weightnorm(params)
+    k = jax.random.PRNGKey(3)
+    for wn in inf_params["wn"]:
+        k, sub = jax.random.split(k)
+        wn["end"]["weight"] = 0.05 * jax.random.normal(
+            sub, wn["end"]["weight"].shape, jnp.float32
+        )
+    key = jax.random.PRNGKey(11)
+    dense = waveglow_infer(CFG, inf_params, spect, 0.6, key)
+    wn8 = pack_waveglow_wn_int8(CFG, inf_params)
+
+    zero = waveglow_infer(CFG, inf_params, spect, 0.6, key,
+                          wn_int8_flows=0, packed_wn_int8=wn8)
+    np.testing.assert_array_equal(np.asarray(zero), np.asarray(dense))
+
+    prev_snr = np.inf
+    for n in (2, CFG.n_flows):
+        got = waveglow_infer(CFG, inf_params, spect, 0.6, key,
+                             wn_int8_flows=n, packed_wn_int8=wn8)
+        err = np.asarray(got, np.float64) - np.asarray(dense, np.float64)
+        snr = 10 * np.log10(
+            np.sum(np.asarray(dense, np.float64) ** 2)
+            / max(np.sum(err ** 2), 1e-30)
+        )
+        assert np.isfinite(snr) and snr > 20.0, (n, snr)
+        # quantizing MORE flows cannot gain SNR (allow noise slack)
+        assert snr <= prev_snr + 3.0, (n, snr, prev_snr)
+        prev_snr = snr
+
+    ladder = run_ladder(CFG, inf_params, spect[:1], include_wn_int8=True)
+    wn_rows = [r for r in ladder if r.startswith("bf16_int8_wn")]
+    assert f"bf16_int8_wn{CFG.n_flows}" in ladder, ladder.keys()
+    for r in wn_rows:
+        assert np.isfinite(ladder[r]) and ladder[r] > 15.0, (r, ladder[r])
+
+
+def test_grouped_upsample_layout_equivalence(params, batch):
+    """upsample_grouped (the fused upsample->grouped layout) must be
+    VALUE-identical to upsample_phase_matmul + group_spect, in training
+    (forward outputs + loss) and inference — it is a pure layout change,
+    so any difference is a bug, and the perf A/B (bench.py
+    --grouped_upsample) compares identical programs semantically."""
+    from fac_via_ppg_tpu.models.waveglow import (
+        upsample_grouped,
+        upsample_phase_matmul,
+    )
+
+    spect, audio = batch
+    inf_params = remove_weightnorm(params)
+
+    T = int(audio.shape[1])
+    up = params["upsample"]
+    two = group_spect(
+        upsample_phase_matmul(up, spect, CFG.hop_length)[:, :, :T],
+        CFG.n_group,
+    )
+    fused = upsample_grouped(up, spect, CFG.hop_length, CFG.n_group,
+                             t_samples=T)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(two))
+
+    # end to end: forward (z + loss inputs) and inference, both exact
+    z_a, s_a, d_a = waveglow_forward(CFG, params, spect, audio)
+    z_b, s_b, d_b = waveglow_forward(CFG, params, spect, audio,
+                                     grouped_upsample=True)
+    np.testing.assert_array_equal(np.asarray(z_a), np.asarray(z_b))
+    for a, b in zip(s_a, s_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    key = jax.random.PRNGKey(9)
+    inf_a = waveglow_infer(CFG, inf_params, spect, 0.6, key)
+    inf_b = waveglow_infer(CFG, inf_params, spect, 0.6, key,
+                           grouped_upsample=True)
+    np.testing.assert_array_equal(np.asarray(inf_a), np.asarray(inf_b))
+
+    # ragged audio length (not a multiple of n_group) truncates the same
+    audio_r = audio[:, : T - 5]
+    z_c, _, _ = waveglow_forward(CFG, params, spect, audio_r)
+    z_d, _, _ = waveglow_forward(CFG, params, spect, audio_r,
+                                 grouped_upsample=True)
+    np.testing.assert_array_equal(np.asarray(z_c), np.asarray(z_d))
