@@ -38,7 +38,8 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
                        wn_impl: str = "xla",
                        cond_impl: str = "int8",
                        repeats: int = 1,
-                       wn_int8_flows: int = 0) -> dict:
+                       wn_int8_flows: int = 0,
+                       wn_int8_quant: str = "column") -> dict:
     from fac_via_ppg_tpu.configs.hparams import WaveGlowConfig
     from fac_via_ppg_tpu.models.waveglow import (
         init_waveglow,
@@ -127,7 +128,8 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
                                    packed_cond=_pc,
                                    packed_wn=pk,
                                    wn_int8_flows=wn_int8_flows,
-                                   packed_wn_int8=packed_wn8).astype(
+                                   packed_wn_int8=packed_wn8,
+                                   wn_int8_quant=wn_int8_quant).astype(
                         jnp.float32
                     )
                 )
@@ -177,6 +179,7 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
         "wn_impl": wn_impl,
         "cond_impl": cond_impl,
         "wn_int8_flows": wn_int8_flows,
+        "wn_int8_quant": wn_int8_quant if wn_int8_flows else None,
     }
     if len(runs) > 1:
         detail["rtf_runs"] = [round(r, 2) for r in runs]
@@ -184,8 +187,9 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
         detail["rtf_max"] = round(max(runs), 2)
     if cond_impl == "int8":
         detail["int8_snr_note"] = (
-            "SNR vs f32-dense on the trained checkpoint: bf16-dense "
-            "40.4 dB, bf16-int8 39.4 dB, f32-int8 41.3 dB"
+            "worst-utterance SNR vs f32-dense on the trained "
+            "checkpoints (per-column default, round-5 re-measure): "
+            "bf16-dense 43.6 dB, bf16-int8 43.5 dB, f32-int8 50.7 dB"
         )
     try:
         # throughput with one call in flight (readback RTT overlapped;
@@ -617,9 +621,11 @@ if __name__ == "__main__":
     parser.add_argument("--cond_impl", default="int8",
                         choices=["dense", "int8"],
                         help="int8 (default): stacked cond matmuls on the "
-                             "int8 MXU — ~10%% faster; 39.4 dB SNR vs "
-                             "f32-dense on the trained ckpt (bf16-dense: "
-                             "40.4 dB).  dense: rounds-1/2 protocol.  "
+                             "int8 MXU — ~10%% faster; ~43.5 dB "
+                             "worst-utterance SNR vs f32-dense on the "
+                             "trained ckpts, ~0.2 dB below bf16-dense "
+                             "(per-column default).  dense: rounds-1/2 "
+                             "protocol.  "
                              "Applies to rtf / e2e_fused / "
                              "e2e_fused_batch / streaming_fused; the "
                              "staged configs (e2e, streaming) have no "
@@ -650,6 +656,12 @@ if __name__ == "__main__":
                              "the int8 MXU (experimental rung; measure "
                              "the SNR ladder first — "
                              "eval/int8_snr include_wn_int8)")
+    parser.add_argument("--wn_int8_quant", default="column",
+                        choices=["column", "tensor"],
+                        help="wn_int8_flows activation-scale variant: "
+                             "column = 3 tap matmuls w/ exact per-column "
+                             "scales; tensor = one stacked matmul w/ a "
+                             "per-tensor scale")
     parser.add_argument("--repeats", type=int, default=1,
                         help="rtf config: re-time the measured window N "
                              "times; JSON value = median, detail carries "
@@ -661,7 +673,8 @@ if __name__ == "__main__":
         "rtf": lambda: bench_waveglow_rtf(wn_impl=args.wn_impl,
                                           cond_impl=args.cond_impl,
                                           repeats=args.repeats,
-                                          wn_int8_flows=args.wn_int8_flows),
+                                          wn_int8_flows=args.wn_int8_flows,
+                                          wn_int8_quant=args.wn_int8_quant),
         "e2e": bench_e2e_latency,
         "e2e_fused": lambda: bench_e2e_fused(cond_impl=args.cond_impl),
         "e2e_fused_batch":

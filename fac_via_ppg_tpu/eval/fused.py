@@ -78,8 +78,10 @@ class FusedSynthesizer:
 
         `cond_impl='int8'` runs the vocoder's stacked cond matmuls on the
         int8 MXU (models/waveglow.py pack_waveglow_int8cond): ~10% more
-        vocoder throughput at 39.4 dB SNR vs f32-dense on the trained
-        checkpoint (docs/PERF.md "int8 cond matmuls").  Composes with
+        vocoder throughput at ~0.2 dB below the bf16 serving mode on the
+        trained checkpoints (43.5 vs 43.6 dB worst-utterance SNR vs
+        f32-dense under the per-column default; docs/PERF.md quality
+        ladder).  Composes with
         model_parallel>1: the packed stack shards column-parallel over
         the 'model' axis (parallel/sharding.int8cond_shardings), the
         same placement the dense cond_layers get.

@@ -327,8 +327,12 @@ def pack_waveglow_wn_int8(cfg: WaveGlowConfig, params: dict) -> list:
             wq = jnp.clip(
                 jnp.round(w / w_scale[:, None, None]), -127, 127
             ).astype(jnp.int8)
+            # stacked form for the per-tensor-quant variant: tap-major
+            # (2C, 3C) so ONE int8 matmul covers all taps
+            wq_stacked = wq.transpose(0, 2, 1).reshape(wq.shape[0], -1)
             layers.append({
                 "wq": wq.transpose(2, 0, 1),                # (3, 2C, C)
+                "wq_stacked": wq_stacked,                   # (2C, 3*C)
                 "w_scale": w_scale,
                 "bias": p["bias"].astype(jnp.float32),
             })
@@ -336,36 +340,67 @@ def pack_waveglow_wn_int8(cfg: WaveGlowConfig, params: dict) -> list:
     return packed
 
 
-def _in_conv_int8(pk: dict, x: jnp.ndarray, dilation: int) -> jnp.ndarray:
+def _in_conv_int8(pk: dict, x: jnp.ndarray, dilation: int,
+                  quant: str = "column") -> jnp.ndarray:
     """The WN in_layer dilated conv on the int8 MXU.
 
     The k=3 conv is decomposed into its 3 taps — out[t] = sum_j
-    W[:, :, j] @ x[t + (j-1)*d] — so each tap is a plain channel
-    contraction and the PER-COLUMN activation scale (exact, locally
-    adaptive: quantize_per_column_int8) sits outside its int32
-    accumulator.  Tap shifts use zero padding, matching the XLA conv's
-    sequence-edge semantics exactly.  The three int32 partials dequantize
-    through (x_scale[shifted column] * w_scale[out]) and sum in f32; XLA
-    fuses the dequant chain into the surrounding elementwise epilogue.
+    W[:, :, j] @ x[t + (j-1)*d].  Tap shifts use zero padding, matching
+    the XLA conv's sequence-edge semantics exactly.  Two quantization
+    variants (both measured in docs/PERF.md):
+
+    quant='column': each tap is its own channel contraction so the
+    PER-COLUMN activation scale (exact, locally adaptive:
+    quantize_per_column_int8) sits outside its int32 accumulator; the
+    three int32 partials dequantize through (x_scale[shifted column] *
+    w_scale[out]) and sum in f32.  Quality-safest, but the partials cost
+    traffic.
+
+    quant='tensor': ONE stacked (2C, 3C) @ (3C, G) int8 matmul over the
+    tap-concatenated activations with a single PER-TENSOR activation
+    scale — exact dequant with one int32 accumulator and no partials.
     """
-    xq, xs = quantize_per_column_int8(x)                    # int8, (B, G)
     G = x.shape[-1]
-    acc = None
-    for j in range(3):
-        shift = (j - 1) * dilation
-        if shift < 0:
-            xq_s = jnp.pad(xq, ((0, 0), (0, 0), (-shift, 0)))[:, :, :G]
-            xs_s = jnp.pad(xs, ((0, 0), (-shift, 0)))[:, :G]
-        elif shift > 0:
-            xq_s = jnp.pad(xq, ((0, 0), (0, 0), (0, shift)))[:, :, shift:]
-            xs_s = jnp.pad(xs, ((0, 0), (0, shift)))[:, shift:]
-        else:
-            xq_s, xs_s = xq, xs
-        part = jnp.einsum(
-            "oc,bcg->bog", pk["wq"][j], xq_s,
+
+    def shift3(t, pad_spec_fn):
+        outs = []
+        for j in range(3):
+            s = (j - 1) * dilation
+            if s < 0:
+                outs.append(pad_spec_fn(t, (-s, 0))[..., :G])
+            elif s > 0:
+                outs.append(pad_spec_fn(t, (0, s))[..., s:])
+            else:
+                outs.append(t)
+        return outs
+
+    if quant == "tensor":
+        xq, xs = quantize_per_tensor_int8(x)
+        xq_cat = jnp.concatenate(
+            shift3(xq, lambda t, p: jnp.pad(t, ((0, 0), (0, 0), p))),
+            axis=1,
+        )                                                   # (B, 3C, G)
+        acc = jnp.einsum(
+            "oc,bcg->bog", pk["wq_stacked"], xq_cat,
             preferred_element_type=jnp.int32,
         )
-        term = part.astype(jnp.float32) * xs_s[:, None, :]
+        out = (
+            acc.astype(jnp.float32)
+            * (xs * pk["w_scale"])[None, :, None]
+            + pk["bias"][None, :, None]
+        )
+        return out.astype(x.dtype)
+
+    xq, xs = quantize_per_column_int8(x)                    # int8, (B, G)
+    xq_shifts = shift3(xq, lambda t, p: jnp.pad(t, ((0, 0), (0, 0), p)))
+    xs_shifts = shift3(xs, lambda t, p: jnp.pad(t, ((0, 0), p)))
+    acc = None
+    for j in range(3):
+        part = jnp.einsum(
+            "oc,bcg->bog", pk["wq"][j], xq_shifts[j],
+            preferred_element_type=jnp.int32,
+        )
+        term = part.astype(jnp.float32) * xs_shifts[j][:, None, :]
         acc = term if acc is None else acc + term
     out = acc * pk["w_scale"][None, :, None] + pk["bias"][None, :, None]
     return out.astype(x.dtype)
@@ -405,7 +440,7 @@ def _cond_all(cfg: WaveGlowConfig, wn: dict, spect_grouped: jnp.ndarray,
 
 def wn_apply(cfg: WaveGlowConfig, wn: dict, audio_half: jnp.ndarray,
              spect_grouped: jnp.ndarray, cond_int8=None,
-             in_int8=None) -> jnp.ndarray:
+             in_int8=None, in_int8_quant: str = "column") -> jnp.ndarray:
     """(B, n_half, T) x (B, 640, T) -> (B, 2*n_half, T) coupling output.
 
     All cond-layer projections are computed in one stacked matmul up front —
@@ -432,7 +467,7 @@ def wn_apply(cfg: WaveGlowConfig, wn: dict, audio_half: jnp.ndarray,
         pad = (cfg.wn_kernel_size * dilation - dilation) // 2
         if in_int8 is not None and cfg.wn_kernel_size == 3:
             in_act = _in_conv_int8(
-                in_int8[i], audio, dilation
+                in_int8[i], audio, dilation, quant=in_int8_quant
             ) + cond_per_layer[i]
         else:
             in_act = _wn_conv_apply(
@@ -750,6 +785,7 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
                    cond_quant: str = "column",
                    wn_int8_flows: int = 0,
                    packed_wn_int8=None,
+                   wn_int8_quant: str = "column",
                    grouped_upsample: bool = False,
                    flow_tile: int = 4096) -> jnp.ndarray:
     """(B, 80, F) mel -> (B, T) audio (reference glow.py:252-293).
@@ -906,6 +942,7 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
                            else (cond_q[0], cond_q[1], cond_q[2][k])),
                 in_int8=(wn8[k] if wn8 is not None
                          and k < wn_int8_flows else None),
+                in_int8_quant=wn_int8_quant,
             )
         s = wn_out[:, n_half:]
         b = wn_out[:, :n_half]

@@ -32,7 +32,8 @@ from fac_via_ppg_tpu.utils.inference import load_waveglow_model
 def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
          batch_size=1, sampling_rate=16000, data_parallel=False,
          compute_dtype="float32", wn_impl="xla", model_parallel=1,
-         cond_impl="dense", config_path=None, snr_budget_db=None):
+         cond_impl="dense", config_path=None, snr_budget_db=None,
+         wn_int8_flows=0):
     if cond_impl in ("int8", "auto") and wn_impl == "pallas":
         raise SystemExit("--cond_impl int8/auto requires --wn_impl xla "
                          "or flow")
@@ -104,6 +105,11 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
         from fac_via_ppg_tpu.models.waveglow import pack_waveglow_int8cond
 
         packed_cond = pack_waveglow_int8cond(cfg, params)
+    packed_wn8 = None
+    if wn_int8_flows:
+        from fac_via_ppg_tpu.models.waveglow import pack_waveglow_wn_int8
+
+        packed_wn8 = pack_waveglow_wn_int8(cfg, params)
     # packed_cond/packed_wn are passed as explicit jit arguments (not
     # closure captures) so the sharded/replicated versions bound below are
     # used by construction, not by Python late-binding timing.
@@ -112,7 +118,9 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
                                                dtype=dtype,
                                                wn_impl=wn_impl, packed_wn=pk,
                                                cond_impl=cond_impl,
-                                               packed_cond=pc)
+                                               packed_cond=pc,
+                                               wn_int8_flows=wn_int8_flows,
+                                               packed_wn_int8=packed_wn8)
     )
     mesh = None
     if (data_parallel or model_parallel > 1) and jax.device_count() > 1:
@@ -220,9 +228,9 @@ if __name__ == "__main__":
                              "--data_parallel)")
     parser.add_argument("--compute_dtype", default="float32",
                         choices=["float32", "bfloat16"],
-                        help="serving dtype (bf16: ~1.5x faster; 40.4 dB "
-                             "SNR vs f32 on the trained ckpt — "
-                             "docs/PERF.md quality ladder)")
+                        help="serving dtype (bf16: ~1.5x faster; ~43.6 dB "
+                             "worst-utterance SNR vs f32 on the trained "
+                             "ckpts — docs/PERF.md quality ladder)")
     parser.add_argument("--cond_impl", default="dense",
                         choices=["dense", "int8", "auto"],
                         help="int8: cond matmuls on the int8 MXU (~10%% "
@@ -235,6 +243,11 @@ if __name__ == "__main__":
                         help="worst-utterance SNR budget (dB) for "
                              "--cond_impl auto; default "
                              "eval/int8_snr.DEFAULT_SNR_BUDGET_DB")
+    parser.add_argument("--wn_int8_flows", type=int, default=0,
+                        help="run the WN in_conv dilated convs of the N "
+                             "narrowest flows on the int8 MXU "
+                             "(experimental rung; measure the ladder "
+                             "first: eval/int8_snr --include_wn_int8)")
     parser.add_argument("--wn_impl", default="xla",
                         choices=["xla", "pallas", "flow"],
                         help="coupling-net impl; flow = cross-layer Pallas "
@@ -260,4 +273,4 @@ if __name__ == "__main__":
          args.denoiser_strength, args.batch_size, args.sampling_rate,
          args.data_parallel, args.compute_dtype, args.wn_impl,
          args.model_parallel, args.cond_impl, args.config,
-         args.snr_budget_db)
+         args.snr_budget_db, args.wn_int8_flows)

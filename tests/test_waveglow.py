@@ -402,6 +402,9 @@ def test_in_conv_int8_tap_exactness():
                             padding=pad, dilation=dilation)
         pk = {
             "wq": jnp.asarray(wq.transpose(2, 0, 1), jnp.int8),
+            "wq_stacked": jnp.asarray(
+                wq.transpose(0, 2, 1).reshape(out_ch, -1), jnp.int8
+            ),
             "w_scale": jnp.asarray(w_s / 127.0),
             "bias": bias,
         }
@@ -409,6 +412,16 @@ def test_in_conv_int8_tap_exactness():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5,
             err_msg=f"tap-decomposed int8 conv wrong at dilation {dilation}",
+        )
+        # per-tensor stacked variant: same exactness when the activation
+        # grid is also exactly per-tensor representable
+        xt = jnp.asarray(q) * 0.013
+        want_t = conv1d_apply({"weight": w, "bias": bias}, xt,
+                              padding=pad, dilation=dilation)
+        got_t = _in_conv_int8(pk, xt, dilation, quant="tensor")
+        np.testing.assert_allclose(
+            np.asarray(got_t), np.asarray(want_t), rtol=1e-5, atol=1e-5,
+            err_msg=f"stacked int8 conv wrong at dilation {dilation}",
         )
 
 
