@@ -39,7 +39,8 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
                        cond_impl: str = "int8",
                        repeats: int = 1,
                        wn_int8_flows: int = 0,
-                       wn_int8_quant: str = "column") -> dict:
+                       wn_int8_quant: str = "column",
+                       wn_int8_rs_flows: int = 0) -> dict:
     from fac_via_ppg_tpu.configs.hparams import WaveGlowConfig
     from fac_via_ppg_tpu.models.waveglow import (
         init_waveglow,
@@ -89,7 +90,7 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
 
         packed_cond = pack_waveglow_int8cond(cfg, params)
     packed_wn8 = None
-    if wn_int8_flows:
+    if wn_int8_flows or wn_int8_rs_flows:
         from fac_via_ppg_tpu.models.waveglow import pack_waveglow_wn_int8
 
         packed_wn8 = pack_waveglow_wn_int8(cfg, params)
@@ -129,7 +130,9 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
                                    packed_wn=pk,
                                    wn_int8_flows=wn_int8_flows,
                                    packed_wn_int8=packed_wn8,
-                                   wn_int8_quant=wn_int8_quant).astype(
+                                   wn_int8_quant=wn_int8_quant,
+                                   wn_int8_rs_flows=wn_int8_rs_flows
+                                   ).astype(
                         jnp.float32
                     )
                 )
@@ -180,6 +183,7 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
         "cond_impl": cond_impl,
         "wn_int8_flows": wn_int8_flows,
         "wn_int8_quant": wn_int8_quant if wn_int8_flows else None,
+        "wn_int8_rs_flows": wn_int8_rs_flows,
     }
     if len(runs) > 1:
         detail["rtf_runs"] = [round(r, 2) for r in runs]
@@ -200,7 +204,7 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
             detail["rtf_pipelined_runs"] = [round(r, 2) for r in piped_runs]
     except Exception as exc:  # pragma: no cover
         detail["rtf_pipelined_error"] = str(exc)[:200]
-    if cond_impl != "dense" and not wn_int8_flows:
+    if cond_impl != "dense" and not (wn_int8_flows or wn_int8_rs_flows):
         try:
             # the dense bf16 figure (rounds 1-2's headline protocol) so
             # the int8 gain is visible inside one artifact
@@ -208,7 +212,7 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
             detail["rtf_bf16_dense"] = round(rtf_dense, 2)
         except Exception as exc:  # pragma: no cover
             detail["rtf_bf16_dense_error"] = str(exc)[:200]
-    if wn_int8_flows:
+    if wn_int8_flows or wn_int8_rs_flows:
         # experimental-rung invocation: skip the comparator rows (each
         # costs a multi-minute tunnel compile and measures programs the
         # plain `bench.py --repeats N` baseline already covers)
@@ -656,6 +660,11 @@ if __name__ == "__main__":
                              "the int8 MXU (experimental rung; measure "
                              "the SNR ladder first — "
                              "eval/int8_snr include_wn_int8)")
+    parser.add_argument("--wn_int8_rs_flows", type=int, default=0,
+                        help="rtf config: run the WN res_skip 1x1 convs "
+                             "of the N narrowest flows on the int8 MXU "
+                             "(static 1/127 activation scale — the gate "
+                             "output is in (-1,1); experimental rung)")
     parser.add_argument("--wn_int8_quant", default="column",
                         choices=["column", "tensor"],
                         help="wn_int8_flows activation-scale variant: "
@@ -670,11 +679,11 @@ if __name__ == "__main__":
                              "~4%%)")
     args = parser.parse_args()
     runners = {
-        "rtf": lambda: bench_waveglow_rtf(wn_impl=args.wn_impl,
-                                          cond_impl=args.cond_impl,
-                                          repeats=args.repeats,
-                                          wn_int8_flows=args.wn_int8_flows,
-                                          wn_int8_quant=args.wn_int8_quant),
+        "rtf": lambda: bench_waveglow_rtf(
+            wn_impl=args.wn_impl, cond_impl=args.cond_impl,
+            repeats=args.repeats, wn_int8_flows=args.wn_int8_flows,
+            wn_int8_quant=args.wn_int8_quant,
+            wn_int8_rs_flows=args.wn_int8_rs_flows),
         "e2e": bench_e2e_latency,
         "e2e_fused": lambda: bench_e2e_fused(cond_impl=args.cond_impl),
         "e2e_fused_batch":

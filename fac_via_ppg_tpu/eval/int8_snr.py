@@ -1,10 +1,12 @@
 """Quality ladder for reduced-precision WaveGlow inference modes.
 
 Measures the SNR of each serving configuration (bf16-dense, bf16-int8,
-f32-int8) against the f32-dense output on a TRAINED checkpoint with real
-corpus mel and matched noise — the numbers docs/PERF.md "int8 cond
-matmuls" quotes (bf16-dense 40.4 dB / bf16-int8 39.4 dB / f32-int8
-41.3 dB on the r3 study checkpoint).  Reference surface being
+f32-int8, plus opt-in per-tensor and WN-quantization rungs) against the
+f32-dense output on a TRAINED checkpoint with real corpus mel and
+matched noise — the docs/PERF.md quality-ladder numbers (round-5
+re-measure under the per-column default, worst-utterance: bf16-dense
+43.6-43.8 dB / bf16-int8 43.5-43.8 dB / f32-int8 48.8-50.7 dB across
+the two study checkpoints).  Reference surface being
 characterized: the is_fp16 inference mode of
 reference src/waveglow/inference.py:40-49 — the reference never
 measures its precision trade; this tool does.
@@ -36,10 +38,10 @@ def waveglow_config_from_json(path: str) -> WaveGlowConfig:
 
 
 # Default worst-utterance SNR budget (dB, bf16+int8 vs f32-dense) for the
-# cond_impl='auto' serving gate: the healthy trained checkpoint measures
-# ~39 dB worst-utterance (docs/PERF.md quality ladder), the bf16 serving
-# mode itself sits at ~40 dB, so 35 dB flags only genuinely
-# quantization-hostile checkpoints while leaving ~4 dB of corpus headroom.
+# cond_impl='auto' serving gate: the healthy trained checkpoints measure
+# ~43.5 dB worst-utterance (docs/PERF.md quality ladder, per-column
+# default — bf16's own rounding dominates), so 35 dB flags only genuinely
+# quantization-hostile checkpoints while leaving ~8 dB of corpus headroom.
 DEFAULT_SNR_BUDGET_DB = 35.0
 
 
@@ -127,39 +129,47 @@ def run_ladder(cfg: WaveGlowConfig, params, mel: jnp.ndarray,
     noise = matched_noise(cfg, mel.shape[0], mel.shape[2], seed)
     packed = pack_waveglow_int8cond(cfg, params)
 
-    def run(dtype, cond_impl, cond_quant="column", wn_flows=0, wn8=None):
+    def run(dtype, cond_impl, cond_quant="column", wn_flows=0, wn8=None,
+            rs_flows=0):
         fn = jax.jit(lambda p, m: waveglow_infer(
             cfg, p, m, sigma, None, dtype=dtype, noise=noise,
             cond_impl=cond_impl, cond_quant=cond_quant,
             packed_cond=(packed if cond_impl == "int8" else None),
-            wn_int8_flows=wn_flows, packed_wn_int8=wn8))
+            wn_int8_flows=wn_flows, packed_wn_int8=wn8,
+            wn_int8_rs_flows=rs_flows))
         return np.asarray(fn(params, mel), np.float64)
 
     ref = run(jnp.float32, "dense")
     rungs = [
-        ("bf16_dense", jnp.bfloat16, "dense", "column", 0),
-        ("bf16_int8", jnp.bfloat16, "int8", "column", 0),
-        ("f32_int8", jnp.float32, "int8", "column", 0),
+        ("bf16_dense", jnp.bfloat16, "dense", "column", 0, 0),
+        ("bf16_int8", jnp.bfloat16, "int8", "column", 0, 0),
+        ("f32_int8", jnp.float32, "int8", "column", 0, 0),
     ]
     if include_tensorscale:
         # per-tensor activation scales: the pre-round-3 int8 mode, kept
         # measurable so the per-column win is an A/B on one checkpoint
         rungs += [
-            ("bf16_int8_tensorscale", jnp.bfloat16, "int8", "tensor", 0),
-            ("f32_int8_tensorscale", jnp.float32, "int8", "tensor", 0),
+            ("bf16_int8_tensorscale", jnp.bfloat16, "int8", "tensor",
+             0, 0),
+            ("f32_int8_tensorscale", jnp.float32, "int8", "tensor", 0, 0),
         ]
     wn8_pack = None
     if include_wn_int8:
         wn8_pack = pack_waveglow_wn_int8(cfg, params)
         rungs += [
-            (f"bf16_int8_wn{n}", jnp.bfloat16, "int8", "column", n)
+            (f"bf16_int8_wn{n}", jnp.bfloat16, "int8", "column", n, 0)
             for n in (4, 8, cfg.n_flows)
             if n <= cfg.n_flows
         ]
+        # static-scale int8 res_skip rung (all flows): the gate output is
+        # in (-1, 1), so this measures the 1/127-grid activation code
+        rungs += [(f"bf16_int8_rs{cfg.n_flows}", jnp.bfloat16, "int8",
+                   "column", 0, cfg.n_flows)]
     out = {}
-    for name, dtype, ci, cq, wn_n in rungs:
+    for name, dtype, ci, cq, wn_n, rs_n in rungs:
         got = run(dtype, ci, cq, wn_flows=wn_n,
-                  wn8=(wn8_pack if wn_n else None))
+                  wn8=(wn8_pack if (wn_n or rs_n) else None),
+                  rs_flows=rs_n)
         if detailed:
             per_utt = [_snr_db(ref[b], got[b]) for b in range(ref.shape[0])]
             out[name] = {"db": _snr_db(ref, got), "per_utt_db": per_utt,

@@ -318,7 +318,7 @@ def pack_waveglow_wn_int8(cfg: WaveGlowConfig, params: dict) -> list:
     packed = []
     for wn in params["wn"]:
         layers = []
-        for p in wn["in_layers"]:
+        for p, rs in zip(wn["in_layers"], wn["res_skip_layers"]):
             p = fold(p)
             w = p["weight"].astype(jnp.float32)            # (2C, C, 3)
             w_scale = jnp.maximum(
@@ -330,14 +330,50 @@ def pack_waveglow_wn_int8(cfg: WaveGlowConfig, params: dict) -> list:
             # stacked form for the per-tensor-quant variant: tap-major
             # (2C, 3C) so ONE int8 matmul covers all taps
             wq_stacked = wq.transpose(0, 2, 1).reshape(wq.shape[0], -1)
+            # res_skip 1x1 conv (per-out-channel int8): its input is the
+            # gate output tanh*sigmoid in (-1, 1), so the activation
+            # quantizes with the STATIC scale 1/127 — no dynamic max, no
+            # taps, one int32 accumulator (_rs_conv_int8)
+            rs = fold(rs)
+            rw = rs["weight"][:, :, 0].astype(jnp.float32)  # (2C|C, C)
+            rs_scale = jnp.maximum(
+                jnp.max(jnp.abs(rw), axis=1), 1e-8
+            ) / 127.0
+            rs_q = jnp.clip(
+                jnp.round(rw / rs_scale[:, None]), -127, 127
+            ).astype(jnp.int8)
             layers.append({
                 "wq": wq.transpose(2, 0, 1),                # (3, 2C, C)
                 "wq_stacked": wq_stacked,                   # (2C, 3*C)
                 "w_scale": w_scale,
                 "bias": p["bias"].astype(jnp.float32),
+                "rs_wq": rs_q,
+                "rs_w_scale": rs_scale,
+                "rs_bias": rs["bias"].astype(jnp.float32),
             })
         packed.append(layers)
     return packed
+
+
+def _rs_conv_int8(pk: dict, acts: jnp.ndarray) -> jnp.ndarray:
+    """The WN res_skip 1x1 conv on the int8 MXU with a STATIC activation
+    scale: the gate output tanh(.)*sigmoid(.) lies strictly in (-1, 1),
+    so round(acts * 127) is an exact-dequant int8 code with no dynamic
+    reduction — the quantize fuses into the gate epilogue, the read
+    bytes halve, and the matmul runs at the 2x int8 rate with one int32
+    accumulator (no taps, no partials — the structural costs that sank
+    the in_conv rung don't exist here)."""
+    aq = jnp.clip(
+        jnp.round(acts.astype(jnp.float32) * 127.0), -127, 127
+    ).astype(jnp.int8)
+    acc = jnp.einsum(
+        "oc,bcg->bog", pk["rs_wq"], aq, preferred_element_type=jnp.int32,
+    )
+    out = (
+        acc.astype(jnp.float32) * (pk["rs_w_scale"] / 127.0)[None, :, None]
+        + pk["rs_bias"][None, :, None]
+    )
+    return out.astype(acts.dtype)
 
 
 def _in_conv_int8(pk: dict, x: jnp.ndarray, dilation: int,
@@ -440,7 +476,8 @@ def _cond_all(cfg: WaveGlowConfig, wn: dict, spect_grouped: jnp.ndarray,
 
 def wn_apply(cfg: WaveGlowConfig, wn: dict, audio_half: jnp.ndarray,
              spect_grouped: jnp.ndarray, cond_int8=None,
-             in_int8=None, in_int8_quant: str = "column") -> jnp.ndarray:
+             in_int8=None, in_int8_quant: str = "column",
+             rs_int8=None) -> jnp.ndarray:
     """(B, n_half, T) x (B, 640, T) -> (B, 2*n_half, T) coupling output.
 
     All cond-layer projections are computed in one stacked matmul up front —
@@ -478,7 +515,10 @@ def wn_apply(cfg: WaveGlowConfig, wn: dict, audio_half: jnp.ndarray,
         s_act = jax.nn.sigmoid(in_act[:, C:])
         acts = t_act * s_act
 
-        res_skip = _wn_conv_apply(wn["res_skip_layers"][i], acts)
+        if rs_int8 is not None:
+            res_skip = _rs_conv_int8(rs_int8[i], acts)
+        else:
+            res_skip = _wn_conv_apply(wn["res_skip_layers"][i], acts)
         if i < cfg.wn_n_layers - 1:
             audio = audio + res_skip[:, :C]
             skip = res_skip[:, C:]
@@ -786,6 +826,7 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
                    wn_int8_flows: int = 0,
                    packed_wn_int8=None,
                    wn_int8_quant: str = "column",
+                   wn_int8_rs_flows: int = 0,
                    grouped_upsample: bool = False,
                    flow_tile: int = 4096) -> jnp.ndarray:
     """(B, 80, F) mel -> (B, T) audio (reference glow.py:252-293).
@@ -894,10 +935,10 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
         # 8x larger cond tensor (ops/wn_flow_pallas.py docstring)
         spect_g_pad = pad_time_for_flow(spect_g, t_pad, halo)
     wn8 = None
-    if wn_int8_flows:
+    if wn_int8_flows or wn_int8_rs_flows:
         if wn_impl != "xla":
-            raise ValueError("wn_int8_flows requires wn_impl='xla'")
-        if cfg.wn_kernel_size != 3:
+            raise ValueError("wn_int8_flows/rs requires wn_impl='xla'")
+        if wn_int8_flows and cfg.wn_kernel_size != 3:
             raise ValueError("wn_int8_flows supports wn_kernel_size=3 "
                              f"only, got {cfg.wn_kernel_size}")
         wn8 = packed_wn_int8 or pack_waveglow_wn_int8(cfg, params)
@@ -943,6 +984,8 @@ def waveglow_infer(cfg: WaveGlowConfig, params, spect: jnp.ndarray,
                 in_int8=(wn8[k] if wn8 is not None
                          and k < wn_int8_flows else None),
                 in_int8_quant=wn_int8_quant,
+                rs_int8=(wn8[k] if wn8 is not None
+                         and k < wn_int8_rs_flows else None),
             )
         s = wn_out[:, n_half:]
         b = wn_out[:, :n_half]

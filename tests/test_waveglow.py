@@ -514,3 +514,58 @@ def test_grouped_upsample_layout_equivalence(params, batch):
     z_d, _, _ = waveglow_forward(CFG, params, spect, audio_r,
                                  grouped_upsample=True)
     np.testing.assert_array_equal(np.asarray(z_c), np.asarray(z_d))
+
+
+def test_rs_conv_int8_static_scale(params, batch):
+    """The static-scale int8 res_skip path: exact against the 1x1 conv
+    when weights/acts are representable (acts on the 1/127 grid — the
+    gate output's natural range), wn_int8_rs_flows=0 is bitwise dense,
+    and the full-flow rung stays close to dense."""
+    from fac_via_ppg_tpu.models.waveglow import (
+        _rs_conv_int8,
+        pack_waveglow_wn_int8,
+    )
+    from fac_via_ppg_tpu.ops.initializers import conv1d_apply
+
+    rng = np.random.RandomState(6)
+    B, C, G = 2, 16, 40
+    for out_ch in (2 * C, C):  # mid layers and the skip-only last layer
+        q = rng.randint(-127, 128, size=(B, C, G)).astype(np.float32)
+        acts = jnp.asarray(q / 127.0)  # representable gate outputs
+        wq = rng.randint(-127, 128, size=(out_ch, C, 1)).astype(np.float32)
+        wq[:, 0, 0] = 127.0
+        w_s = (0.001 + 0.01 * rng.rand(out_ch)).astype(np.float32)
+        w = jnp.asarray(wq * w_s[:, None, None] / 127.0)
+        bias = jnp.asarray(rng.randn(out_ch).astype(np.float32) * 0.1)
+        want = conv1d_apply({"weight": w, "bias": bias}, acts)
+        # packed scale semantics: rs_w_scale = max|w| per row / 127; the
+        # crafted w has per-row max exactly w_s, so the scale is w_s/127
+        got = _rs_conv_int8(
+            {"rs_wq": jnp.asarray(wq[:, :, 0], jnp.int8),
+             "rs_w_scale": jnp.asarray(w_s) / 127.0,
+             "rs_bias": bias},
+            acts,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    spect, _ = batch
+    inf_params = remove_weightnorm(params)
+    k = jax.random.PRNGKey(3)
+    for wn in inf_params["wn"]:
+        k, sub = jax.random.split(k)
+        wn["end"]["weight"] = 0.05 * jax.random.normal(
+            sub, wn["end"]["weight"].shape, jnp.float32
+        )
+    wn8 = pack_waveglow_wn_int8(CFG, inf_params)
+    key = jax.random.PRNGKey(12)
+    dense = waveglow_infer(CFG, inf_params, spect, 0.6, key)
+    zero = waveglow_infer(CFG, inf_params, spect, 0.6, key,
+                          wn_int8_rs_flows=0, packed_wn_int8=wn8)
+    np.testing.assert_array_equal(np.asarray(zero), np.asarray(dense))
+    got = waveglow_infer(CFG, inf_params, spect, 0.6, key,
+                         wn_int8_rs_flows=CFG.n_flows, packed_wn_int8=wn8)
+    err = np.asarray(got, np.float64) - np.asarray(dense, np.float64)
+    snr = 10 * np.log10(np.sum(np.asarray(dense, np.float64) ** 2)
+                        / max(np.sum(err ** 2), 1e-30))
+    assert np.isfinite(snr) and snr > 20.0, snr
