@@ -97,7 +97,7 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
 
     _infer_cache = {}
 
-    def measure(dtype, b=batch, pipelined=False, ci=None):
+    def measure(dtype, b=batch, pipelined=False, ci=None, depth=1):
         """Serial protocol: force each call's scalar to the host before
         dispatching the next (latency-per-call measurement; pays the
         ~25 ms tunnel readback RTT serially every iteration).
@@ -148,18 +148,18 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
         rtfs, elapsed_total = [], 0.0
         for _ in range(max(repeats, 1)):
             start = time.perf_counter()
-            prev = None
+            inflight = []  # pipelined: up to `depth` calls in flight
             for i in range(iters):
                 cur = infer(params, pk, mel_b,
                             jax.random.PRNGKey(100 + i))
                 if not pipelined:
                     float(cur)
-                elif prev is not None:
-                    float(prev)
-                if pipelined:
-                    prev = cur
-            if prev is not None:
-                float(prev)
+                    continue
+                inflight.append(cur)
+                if len(inflight) > depth:
+                    float(inflight.pop(0))
+            for c in inflight:
+                float(c)
             elapsed = time.perf_counter() - start
             rtfs.append(audio_seconds / elapsed)
             elapsed_total += elapsed
@@ -202,6 +202,16 @@ def bench_waveglow_rtf(batch: int = 24, seconds: float = 10.0,
         detail["rtf_pipelined"] = round(rtf_piped, 2)
         if len(piped_runs) > 1:
             detail["rtf_pipelined_runs"] = [round(r, 2) for r in piped_runs]
+        # two calls in flight (the eval/streaming pipeline_depth=2
+        # pattern): whether a deeper window closes the remaining gap to
+        # the device-only bound
+        rtf_p2, _, p2_runs = measure(jnp.bfloat16, pipelined=True,
+                                     depth=2)
+        detail["rtf_pipelined_depth2"] = round(rtf_p2, 2)
+        if len(p2_runs) > 1:
+            detail["rtf_pipelined_depth2_runs"] = [
+                round(r, 2) for r in p2_runs
+            ]
     except Exception as exc:  # pragma: no cover
         detail["rtf_pipelined_error"] = str(exc)[:200]
     if cond_impl != "dense" and not (wn_int8_flows or wn_int8_rs_flows):

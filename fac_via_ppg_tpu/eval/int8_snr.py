@@ -49,6 +49,11 @@ def stack_calibration_mels(mels, max_frames: int = 400) -> jnp.ndarray:
     """[(n_mel, T)] arrays -> one (B, n_mel, F) calibration batch, trimmed
     to the shortest utterance and capped at `max_frames` (bounds the two
     full-program compiles select_cond_impl pays at serving startup)."""
+    mels = list(mels)
+    if not mels:
+        raise ValueError("calibration needs at least one mel "
+                         "(cond_impl='auto' cannot gate on an empty "
+                         "input list)")
     F = min(min(int(m.shape[-1]) for m in mels), int(max_frames))
     return jnp.asarray(np.stack([np.asarray(m)[:, :F] for m in mels]))
 

@@ -35,9 +35,11 @@ def rng():
 
 
 # --------------------------------------------------------------------------
-# Two test tiers (measured on the 1-core CI box, round 4):
-#   fast (default)      `pytest -q`            ~6-8 min
-#   slow (opt-in)       `RUN_SLOW=1 pytest -q` ~55 min, everything
+# Two test tiers (measured on the 1-core CI box, round 5):
+#   fast (default)      `pytest -q`            7:20 (203 tests, incl.
+#                       toy smokes of every slow family —
+#                       tests/test_smoke_families.py)
+#   slow (opt-in)       `RUN_SLOW=1 pytest -q` 43:21, everything (253)
 # The slow tier holds the tests individually measured >= ~12 s — mostly
 # 8-device-CPU-mesh train-step compiles (DP/TP/ZeRO equivalence, remat,
 # bf16, CLI e2e, multiprocess workers) and the full-size oracle parity
