@@ -135,12 +135,13 @@ def run_ladder(cfg: WaveGlowConfig, params, mel: jnp.ndarray,
     packed = pack_waveglow_int8cond(cfg, params)
 
     def run(dtype, cond_impl, cond_quant="column", wn_flows=0, wn8=None,
-            rs_flows=0):
+            rs_flows=0, wn_quant="column"):
         fn = jax.jit(lambda p, m: waveglow_infer(
             cfg, p, m, sigma, None, dtype=dtype, noise=noise,
             cond_impl=cond_impl, cond_quant=cond_quant,
             packed_cond=(packed if cond_impl == "int8" else None),
             wn_int8_flows=wn_flows, packed_wn_int8=wn8,
+            wn_int8_quant=wn_quant,
             wn_int8_rs_flows=rs_flows))
         return np.asarray(fn(params, mel), np.float64)
 
@@ -166,15 +167,21 @@ def run_ladder(cfg: WaveGlowConfig, params, mel: jnp.ndarray,
             for n in (4, 8, cfg.n_flows)
             if n <= cfg.n_flows
         ]
+        # the stacked per-tensor in_conv variant at all flows (the
+        # docs/PERF.md "measured, loses" table's second implementation)
+        rungs += [(f"bf16_int8_wn{cfg.n_flows}t", jnp.bfloat16, "int8",
+                   "column", -cfg.n_flows, 0)]
         # static-scale int8 res_skip rung (all flows): the gate output is
         # in (-1, 1), so this measures the 1/127-grid activation code
         rungs += [(f"bf16_int8_rs{cfg.n_flows}", jnp.bfloat16, "int8",
                    "column", 0, cfg.n_flows)]
     out = {}
     for name, dtype, ci, cq, wn_n, rs_n in rungs:
-        got = run(dtype, ci, cq, wn_flows=wn_n,
+        # negative wn_n encodes the per-tensor (stacked) in_conv variant
+        got = run(dtype, ci, cq, wn_flows=abs(wn_n),
                   wn8=(wn8_pack if (wn_n or rs_n) else None),
-                  rs_flows=rs_n)
+                  rs_flows=rs_n,
+                  wn_quant=("tensor" if wn_n < 0 else "column"))
         if detailed:
             per_utt = [_snr_db(ref[b], got[b]) for b in range(ref.shape[0])]
             out[name] = {"db": _snr_db(ref, got), "per_utt_db": per_utt,

@@ -464,8 +464,11 @@ def test_wn_int8_flows_rung(params, batch):
         prev_snr = snr
 
     ladder = run_ladder(CFG, inf_params, spect[:1], include_wn_int8=True)
-    wn_rows = [r for r in ladder if r.startswith("bf16_int8_wn")]
+    wn_rows = [r for r in ladder if r.startswith("bf16_int8_wn")
+               or r.startswith("bf16_int8_rs")]
     assert f"bf16_int8_wn{CFG.n_flows}" in ladder, ladder.keys()
+    assert f"bf16_int8_wn{CFG.n_flows}t" in ladder  # stacked per-tensor
+    assert f"bf16_int8_rs{CFG.n_flows}" in ladder   # static-scale res_skip
     for r in wn_rows:
         assert np.isfinite(ladder[r]) and ladder[r] > 15.0, (r, ladder[r])
 
