@@ -156,6 +156,17 @@ class StreamingAccentConverter:
             if denoiser_strength > 0 else None
         )
         self.denoiser_strength = denoiser_strength
+        if batch_size > 1 and batch_size % 8:
+            import warnings
+
+            warnings.warn(
+                f"batch_size {batch_size} is off the TPU tile grid "
+                "(multiples of 8): the off-grid batch axis retiles the "
+                "serving tensors — batch 12 measured 1.6-1.9x SLOWER "
+                "than both neighbors (docs/PERF.md serving frontier).  "
+                "Prefer 8/16/24.",
+                stacklevel=2,
+            )
         self.queue_depth = max(queue_depth, 2 * batch_size)
         self.serving_dtype = serving_dtype
         self.batch_size = batch_size

@@ -52,6 +52,15 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
     params = load_waveglow_model(waveglow_path, cfg)
     denoiser = Denoiser(cfg, params) if denoiser_strength > 0 else None
 
+    if batch_size > 1 and batch_size % 8:
+        import warnings
+
+        warnings.warn(
+            f"batch_size {batch_size} is off the TPU tile grid "
+            "(multiples of 8): the vocoder at batch 12 measured 213.8x "
+            "RT vs 325x at batch 8 (docs/PERF.md).  Prefer 8/16/24.",
+            stacklevel=2,
+        )
     files = files_to_list(mel_files)
     os.makedirs(output_dir, exist_ok=True)
     key = jax.random.PRNGKey(0)

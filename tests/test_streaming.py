@@ -351,3 +351,46 @@ def test_streaming_source_is_lazy(tmp_path, rng):
     )
     rest = list(gen)
     assert len(rest) == 9 and len(produced) == 10
+
+
+def test_off_grid_batch_size_warns(tmp_path):
+    """An off-tile-grid micro-batch (measured 1.6-1.9x slower than both
+    neighbors — docs/PERF.md serving frontier, the B=12 crater) warns at
+    construction; grid sizes don't."""
+    import warnings
+
+    make_bundle(str(tmp_path / "bundle"), n_senones=16, n_phones=4,
+                hidden_dim=8, num_layers=1)
+    deps = DependenciesPPG(
+        nnet_path=str(tmp_path / "bundle" / "am" / "final.raw.txt"),
+        lda_path=str(tmp_path / "bundle" / "feats" / "final.mat"),
+        reduce_dim_path=str(tmp_path / "bundle" / "feats" /
+                            "reduce_dim.mat"),
+        splice_opts_path=str(tmp_path / "bundle" / "feats" /
+                             "splice_opts"),
+    )
+    t2_cfg = Tacotron2Config(
+        n_symbols=16, symbols_embedding_dim=16, encoder_embedding_dim=16,
+        decoder_rnn_dim=12, prenet_dim=8, attention_rnn_dim=12,
+        attention_dim=8, attention_location_n_filters=4,
+        attention_location_kernel_size=7, postnet_embedding_dim=16,
+        max_decoder_steps=8,
+    )
+    t2_params, t2_state = init_tacotron2(jax.random.PRNGKey(0), t2_cfg)
+    wg_cfg = WaveGlowConfig(
+        n_mel_channels=80, hop_length=160, n_flows=2, n_group=8,
+        n_early_every=4, n_early_size=2, wn_n_layers=2, wn_n_channels=16,
+        wn_kernel_size=3, upsample_kernel_size=1024,
+    )
+    wg_params = remove_weightnorm(
+        init_waveglow(jax.random.PRNGKey(1), wg_cfg)
+    )
+    for b, expect in ((12, True), (8, False)):
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            StreamingAccentConverter(
+                t2_cfg, t2_params, t2_state, wg_cfg, wg_params,
+                deps=deps, fused=True, batch_size=b,
+            )
+        hit = any("tile grid" in str(w.message) for w in rec)
+        assert hit == expect, (b, [str(w.message) for w in rec])
