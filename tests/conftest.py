@@ -63,6 +63,7 @@ SLOW_BY_NAME = {
     "test_train_waveglow_cli_zero_sharded_opt",
     "test_train_waveglow_lr_schedule_wired",
     "test_train_ppg2mel_preemption_checkpoint",
+    "test_generate_synthesis_cli_cond_impl_auto",
     "test_train_waveglow_preemption_checkpoints_and_resumes",
     # 8-device mesh equivalence (compile-dominated on 1 core)
     "test_data_parallel_step_matches_single_device",

@@ -192,3 +192,65 @@ def test_generate_synthesis_cli_batch_dir(tmp_path, monkeypatch):
         fs, audio = wavfile.read(out_wav)
         assert fs == 16000 and audio.dtype == np.int16
         assert len(audio) > 0 and np.isfinite(audio.astype(np.float64)).all()
+
+
+def test_generate_synthesis_cli_cond_impl_auto(tmp_path, monkeypatch,
+                                               capsys):
+    """--cond_impl auto through the real main(): the gate calibrates on
+    the input wavs' analysis mels at startup, logs the decision, and the
+    batch converts end to end under the resolved impl."""
+    make_bundle(str(tmp_path / "bundle"), n_senones=16, n_phones=4,
+                hidden_dim=8, num_layers=1)
+    deps = DependenciesPPG(
+        nnet_path=str(tmp_path / "bundle" / "am" / "final.raw.txt"),
+        lda_path=str(tmp_path / "bundle" / "feats" / "final.mat"),
+        reduce_dim_path=str(tmp_path / "bundle" / "feats" / "reduce_dim.mat"),
+        splice_opts_path=str(tmp_path / "bundle" / "feats" / "splice_opts"),
+    )
+    hp = create_hparams_stage(**TINY_T2)
+    t2_cfg = Tacotron2Config.from_hparams(hp)
+    t2_params, t2_state = init_tacotron2(jax.random.PRNGKey(0), t2_cfg)
+    t2_path = str(tmp_path / "ckpt_t2")
+    ckpt.save_checkpoint(t2_path, t2_params, {}, 1e-3, 0,
+                         model_state=t2_state)
+    wg_cfg = WaveGlowConfig(
+        n_mel_channels=80, hop_length=160, n_flows=2, n_group=8,
+        n_early_every=4, n_early_size=2, wn_n_layers=2, wn_n_channels=16,
+        wn_kernel_size=3, upsample_kernel_size=1024,
+    )
+    wg_params = init_waveglow(jax.random.PRNGKey(1), wg_cfg)
+    wg_path = str(tmp_path / "ckpt_wg")
+    ckpt.save_checkpoint(wg_path, wg_params, {}, 1e-4, 0)
+
+    wav_dir = tmp_path / "utts"
+    wav_dir.mkdir()
+    for i, hz in enumerate((180.0, 260.0)):
+        t = np.arange(6400) / 16000.0
+        wavfile.write(str(wav_dir / f"u{i}.wav"), 16000,
+                      (np.sin(2 * np.pi * hz * t) * 9000).astype(np.int16))
+
+    monkeypatch.setattr(gs, "create_hparams_stage", lambda **kw: hp)
+    monkeypatch.setattr(gs, "WaveGlowConfig", lambda: wg_cfg)
+    monkeypatch.setattr(gs.ppg_mod, "DependenciesPPG", lambda: deps)
+    out_dir = str(tmp_path / "out_auto")
+    monkeypatch.setattr(sys, "argv", [
+        "generate_synthesis",
+        "--ppg2mel_model", t2_path,
+        "--waveglow_model", wg_path,
+        "--teacher_utterance_path", str(wav_dir),
+        "--output_dir", out_dir,
+        "--batch_size", "2",
+        "--cond_impl", "auto",
+        "--snr_budget_db", "20.0",  # random-init ckpt passes this easily
+    ])
+    gs.main()
+    printed = capsys.readouterr().out
+    assert "cond_impl=auto" in printed and "serving cond_impl=" in printed
+
+    for i in range(2):
+        out_wav = os.path.join(out_dir, f"ac_u{i}.wav")
+        assert os.path.exists(out_wav), out_wav
+        _, audio = wavfile.read(out_wav)
+        assert len(audio) > 0 and np.isfinite(
+            audio.astype(np.float64)
+        ).all()
