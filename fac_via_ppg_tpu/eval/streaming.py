@@ -425,7 +425,7 @@ def main():
     parser.add_argument("--cond_impl", default="dense",
                         choices=["dense", "int8", "auto"],
                         help="int8: vocoder cond matmuls on the int8 MXU "
-                             "(~10%% faster vocoder at ~-1 dB SNR vs the "
+                             "(~10%% faster vocoder at ~0-0.2 dB below the "
                              "bf16 mode; needs --fused).  auto: measure "
                              "the int8 worst-utterance SNR on this "
                              "deployment's own checkpoint + first inputs "

@@ -193,9 +193,9 @@ def upsample_grouped(p: dict, spect: jnp.ndarray, hop: int, n_group: int,
     f*(hop/n_group) + q] — identical values to
     group_spect(upsample_phase_matmul(...)[:, :, :t_samples], n_group).
 
-    Requires hop % n_group == 0 and (when slicing to audio length)
-    t_samples % n_group == 0; callers fall back to the two-step path
-    otherwise.
+    Requires hop % n_group == 0 (callers fall back to the two-step path
+    otherwise); a t_samples that isn't a multiple of n_group truncates
+    to the last whole group, exactly like group_spect.
     """
     if hop % n_group:
         raise ValueError(f"hop {hop} not a multiple of n_group {n_group}")

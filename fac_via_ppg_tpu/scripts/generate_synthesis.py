@@ -66,7 +66,7 @@ def main():
     parser.add_argument("--cond_impl", default="dense",
                         choices=["dense", "int8", "auto"],
                         help="int8: vocoder cond matmuls on the int8 MXU "
-                             "(~10%% faster vocoder, ~-1 dB SNR vs the "
+                             "(~10%% faster vocoder, ~0-0.2 dB below the "
                              "bf16 mode on the trained ckpt; needs --fused "
                              "or a batch input).  auto: measure the int8 "
                              "worst-utterance SNR on this checkpoint + "
