@@ -39,7 +39,8 @@ def rng():
 #   fast (default)      `pytest -q`            7:20 (203 tests, incl.
 #                       toy smokes of every slow family —
 #                       tests/test_smoke_families.py)
-#   slow (opt-in)       `RUN_SLOW=1 pytest -q` 43:21, everything (253)
+#   slow (opt-in)       `RUN_SLOW=1 pytest -q` 34:35-43:21 across two
+#                       round-5 runs, everything (255)
 # The slow tier holds the tests individually measured >= ~12 s — mostly
 # 8-device-CPU-mesh train-step compiles (DP/TP/ZeRO equivalence, remat,
 # bf16, CLI e2e, multiprocess workers) and the full-size oracle parity
