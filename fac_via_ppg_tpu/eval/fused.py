@@ -39,7 +39,7 @@ from fac_via_ppg_tpu.models.tacotron2 import (
 )
 from fac_via_ppg_tpu.models.waveglow import cast_params, waveglow_infer
 from fac_via_ppg_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-from fac_via_ppg_tpu.utils.numeric import round_up
+from fac_via_ppg_tpu.utils.numeric import round_batch_to_grid, round_up
 
 
 class FusedSynthesizer:
@@ -61,6 +61,7 @@ class FusedSynthesizer:
         cond_impl: str = "dense",
         calibration_mel=None,
         snr_budget_db: Optional[float] = None,
+        pad_to_grid: bool = True,
     ):
         """`data_parallel=True` spreads `synthesize_batch` over every chip:
         params replicate onto a 1-D 'data' mesh, the utterance batch is
@@ -142,6 +143,11 @@ class FusedSynthesizer:
         self.serving_dtype = serving_dtype
         self.max_frames = max_frames
         self.feat_bucket = feat_bucket
+        # pad off-grid micro-batches (>8, not a multiple of 8) up to the
+        # TPU tile grid: the measured B=12 crater (docs/PERF.md serving
+        # frontier) makes the 12-row program SLOWER in absolute audio/s
+        # than a padded 16-row one — utils/numeric.round_batch_to_grid
+        self.pad_to_grid = bool(pad_to_grid)
 
         self.cond_impl = cond_impl
         self._packed_cond = None
@@ -305,6 +311,11 @@ class FusedSynthesizer:
         b_pad = len(pairs)
         if pad_batch_to is not None:
             b_pad = max(b_pad, pad_batch_to)
+        if self.pad_to_grid:
+            # off-grid batch axes (>8, % 8) retile the serving tensors so
+            # badly the program is slower in ABSOLUTE terms than the next
+            # grid point (measured B=12 crater, docs/PERF.md) — pad up
+            b_pad = round_batch_to_grid(b_pad)
         if self.mesh is not None:
             # batch rows shard over the 'data' axis only
             b_pad = round_up(b_pad, self.mesh.shape["data"])

@@ -156,15 +156,20 @@ class StreamingAccentConverter:
             if denoiser_strength > 0 else None
         )
         self.denoiser_strength = denoiser_strength
-        if batch_size > 1 and batch_size % 8:
+        if batch_size > 8 and batch_size % 8:
             import warnings
+            from fac_via_ppg_tpu.utils.numeric import round_batch_to_grid
 
             warnings.warn(
                 f"batch_size {batch_size} is off the TPU tile grid "
                 "(multiples of 8): the off-grid batch axis retiles the "
                 "serving tensors — batch 12 measured 1.6-1.9x SLOWER "
                 "than both neighbors (docs/PERF.md serving frontier).  "
-                "Prefer 8/16/24.",
+                f"Micro-batches are auto-padded to "
+                f"{round_batch_to_grid(batch_size)} rows on the device "
+                "(FusedSynthesizer pad_to_grid), so throughput is "
+                f"{batch_size}/{round_batch_to_grid(batch_size)} of that "
+                "grid point; prefer 8/16/24 to not waste the pad rows.",
                 stacklevel=2,
             )
         self.queue_depth = max(queue_depth, 2 * batch_size)

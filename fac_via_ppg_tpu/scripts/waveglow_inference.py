@@ -33,7 +33,7 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
          batch_size=1, sampling_rate=16000, data_parallel=False,
          compute_dtype="float32", wn_impl="xla", model_parallel=1,
          cond_impl="dense", config_path=None, snr_budget_db=None,
-         wn_int8_flows=0):
+         wn_int8_flows=0, pad_batches="grid"):
     if cond_impl in ("int8", "auto") and wn_impl == "pallas":
         raise SystemExit("--cond_impl int8/auto requires --wn_impl xla "
                          "or flow")
@@ -52,13 +52,18 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
     params = load_waveglow_model(waveglow_path, cfg)
     denoiser = Denoiser(cfg, params) if denoiser_strength > 0 else None
 
-    if batch_size > 1 and batch_size % 8:
+    if pad_batches not in ("grid", "full", "none"):
+        raise SystemExit(f"--pad_batches must be grid/full/none, "
+                         f"got {pad_batches!r}")
+    if batch_size > 8 and batch_size % 8 and pad_batches == "none":
         import warnings
 
         warnings.warn(
             f"batch_size {batch_size} is off the TPU tile grid "
             "(multiples of 8): the vocoder at batch 12 measured 213.8x "
-            "RT vs 325x at batch 8 (docs/PERF.md).  Prefer 8/16/24.",
+            "RT vs 325x at batch 8 (docs/PERF.md).  Prefer 8/16/24, or "
+            "drop --pad_batches none (the default pads off-grid batches "
+            "up to the grid).",
             stacklevel=2,
         )
     files = files_to_list(mel_files)
@@ -181,19 +186,39 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
     # same overlap eval/streaming.py measures at ~1.5x on this link.
     inflight = None
     try:
+        from fac_via_ppg_tpu.utils.numeric import (
+            round_batch_to_grid, round_up,
+        )
+
         for length, group in by_len.items():
             for i in range(0, len(group), batch_size):
                 chunk = group[i : i + batch_size]
                 mel_batch = np.stack(
                     [m for _, m in chunk]
                 ).astype(np.float32)
+                # batch padding policy (rows repeat the last mel; outputs
+                # are trimmed to the real rows):
+                #   grid (default) — round off-grid chunks (>8, % 8) up
+                #     to the 8-grid: the off-grid program is SLOWER in
+                #     absolute audio/s (measured B=12 crater, docs/PERF.md)
+                #   full — additionally pad partial tail chunks to the
+                #     full batch_size, so each mel length compiles exactly
+                #     one program (serving: compile time dominates)
+                #   none — exact chunk sizes (old behavior)
+                if pad_batches == "none":
+                    target = len(chunk)
+                else:
+                    target = (batch_size if pad_batches == "full"
+                              else len(chunk))
+                    target = round_batch_to_grid(target)
                 if mesh is not None:
-                    n = mesh.shape["data"]
-                    pad = (-len(chunk)) % n
-                    if pad:
-                        mel_batch = np.concatenate(
-                            [mel_batch, np.repeat(mel_batch[-1:], pad, 0)]
-                        )
+                    target = round_up(target, mesh.shape["data"])
+                if target > len(chunk):
+                    mel_batch = np.concatenate(
+                        [mel_batch,
+                         np.repeat(mel_batch[-1:], target - len(chunk), 0)]
+                    )
+                if mesh is not None:
                     mel_batch = jax.device_put(
                         mel_batch, batch_sharding(mesh)
                     )
@@ -267,6 +292,16 @@ if __name__ == "__main__":
                         help="config.json naming a non-default architecture "
                              "(reference waveglow/config.json schema); "
                              "default: the reference 12-flow model")
+    parser.add_argument("--pad_batches", default="grid",
+                        choices=["grid", "full", "none"],
+                        help="batch padding: grid (default) rounds "
+                             "off-grid chunks (>8, not a multiple of 8) "
+                             "up to the TPU 8-grid — the off-grid "
+                             "program is slower in ABSOLUTE audio/s "
+                             "(measured b=12: 213.8x vs 338x at b=16); "
+                             "full also pads partial tail chunks to the "
+                             "full batch_size so each mel length "
+                             "compiles one program; none = exact sizes")
     parser.add_argument("--compilation_cache_dir", default="",
                         help="persistent XLA compilation cache: restarted "
                              "replicas skip the ~3 min WaveGlow first "
@@ -282,4 +317,4 @@ if __name__ == "__main__":
          args.denoiser_strength, args.batch_size, args.sampling_rate,
          args.data_parallel, args.compute_dtype, args.wn_impl,
          args.model_parallel, args.cond_impl, args.config,
-         args.snr_budget_db, args.wn_int8_flows)
+         args.snr_budget_db, args.wn_int8_flows, args.pad_batches)

@@ -435,3 +435,58 @@ def test_fused_cond_impl_auto_gate(tmp_path, rng):
         calibration_mel=cal_mel, snr_budget_db=20.0,
     )
     assert conv.fused.cond_impl == "int8"
+
+
+def test_round_batch_to_grid():
+    """Off-grid batches (>8, not a multiple of 8) round up to the 8-grid;
+    small and on-grid batches pass through (the measured B=12 crater —
+    docs/PERF.md serving frontier)."""
+    from fac_via_ppg_tpu.utils.numeric import round_batch_to_grid
+
+    assert [round_batch_to_grid(b) for b in (1, 4, 8)] == [1, 4, 8]
+    assert [round_batch_to_grid(b) for b in (9, 12, 15)] == [16, 16, 16]
+    assert [round_batch_to_grid(b) for b in (16, 17, 24)] == [16, 24, 24]
+
+
+def _fake_synth(pad_to_grid=True):
+    """A FusedSynthesizer shell whose device program is a shape spy —
+    exercises the batch-assembly/padding/trimming logic in
+    launch_feature_pairs without compiling a model."""
+    syn = FusedSynthesizer.__new__(FusedSynthesizer)
+    syn.mesh = None
+    syn.pad_to_grid = pad_to_grid
+    syn.t2_params = syn.t2_state = syn.wg_params = None
+    syn._packed_cond = syn._bias = None
+    syn.wg_cfg = WaveGlowConfig(hop_length=4)
+    seen = []
+
+    def fake_fn(t2p, t2s, wgp, pc, bias, feats, n_frames, key):
+        seen.append(int(feats.shape[0]))
+        b = feats.shape[0]
+        return (jnp.zeros((b, 8), jnp.int16), jnp.ones((b,), jnp.int32))
+
+    syn._fn_batch = fake_fn
+    return syn, seen
+
+
+def test_fused_pads_off_grid_micro_batch_to_tile_grid():
+    """9 real utterances dispatch as one 16-row program (off-grid batch
+    axes are slower in ABSOLUTE audio/s — measured B=12 crater), and the
+    outputs trim back to the 9 real rows."""
+    pairs = [(np.zeros((5, 3), np.float32), 5)] * 9
+    syn, seen = _fake_synth()
+    out = syn.synthesize_feature_pairs(pairs)
+    assert seen == [16]
+    assert len(out) == 9
+
+    # pad_batch_to (the streaming partial-drain path) grid-rounds too:
+    # a 5-row drain under batch_size=12 runs the same 16-row program
+    syn2, seen2 = _fake_synth()
+    out2 = syn2.synthesize_feature_pairs(pairs[:5], pad_batch_to=12)
+    assert seen2 == [16]
+    assert len(out2) == 5
+
+    # opt-out restores exact shapes
+    syn3, seen3 = _fake_synth(pad_to_grid=False)
+    syn3.synthesize_feature_pairs(pairs)
+    assert seen3 == [9]

@@ -394,3 +394,7 @@ def test_off_grid_batch_size_warns(tmp_path):
             )
         hit = any("tile grid" in str(w.message) for w in rec)
         assert hit == expect, (b, [str(w.message) for w in rec])
+        if expect:
+            # the warning documents the mitigation: micro-batches are
+            # auto-padded up to the grid (12 -> 16) on the device
+            assert any("auto-padded to 16" in str(w.message) for w in rec)

@@ -9,6 +9,8 @@ filelist that mixes mel lengths to exercise the same-length batching.
 
 import json
 
+import pytest
+
 import jax
 import numpy as np
 from scipy.io import wavfile
@@ -56,3 +58,55 @@ def test_cli_tiny_config_bf16_int8_denoised(tmp_path):
         assert len(wav) == frames * cfg.hop_length
         assert np.isfinite(wav.astype(np.float64)).all()
         assert np.abs(wav).max() > 0
+
+
+@pytest.mark.slow  # two tiny-model compiles (~40 s); the padding logic
+# itself has fast-tier coverage in test_fused.py's shape-spy tests
+def test_cli_pads_off_grid_batches_to_tile_grid(tmp_path, monkeypatch):
+    """--pad_batches: 9 same-length mels under batch_size=12 dispatch as
+    one 16-row program under the default grid policy (the off-grid
+    program is slower in ABSOLUTE audio/s — docs/PERF.md B=12 crater),
+    exact 9 rows under none, and the wavs are identical-length either
+    way (pad rows trimmed)."""
+    import fac_via_ppg_tpu.scripts.waveglow_inference as cli
+
+    cfg = WaveGlowConfig.from_dict(TINY)
+    params = init_waveglow(jax.random.PRNGKey(0), cfg)
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), params, {}, 1e-4, 0)
+    config_path = tmp_path / "config.json"
+    config_path.write_text(json.dumps({"waveglow_config": TINY}))
+
+    rs = np.random.RandomState(0)
+    files = []
+    for i in range(9):
+        mel = (rs.randn(80, 24) * 0.5 - 5).astype(np.float32)
+        path = tmp_path / f"mel{i}.npy"
+        np.save(path, mel)
+        files.append(str(path))
+    filelist = tmp_path / "mels.txt"
+    filelist.write_text("\n".join(files) + "\n")
+
+    real_infer = cli.waveglow_infer
+    seen = []
+
+    def spy(cfg_, params_, mel, *a, **kw):
+        seen.append(int(mel.shape[0]))
+        return real_infer(cfg_, params_, mel, *a, **kw)
+
+    monkeypatch.setattr(cli, "waveglow_infer", spy)
+
+    out = tmp_path / "out_grid"
+    cli.main(str(filelist), str(ckpt), str(out), 0.8, 0.0, batch_size=12,
+             config_path=str(config_path))
+    assert seen == [16]  # 9 real rows -> one on-grid 16-row program
+    for i in range(9):
+        _, wav = wavfile.read(out / f"mel{i}.npy_synthesis.wav")
+        assert len(wav) == 24 * cfg.hop_length
+
+    seen.clear()
+    out = tmp_path / "out_none"
+    cli.main(str(filelist), str(ckpt), str(out), 0.8, 0.0, batch_size=12,
+             config_path=str(config_path), pad_batches="none")
+    assert seen == [9]
+    assert len(list(out.glob("*.wav"))) == 9
