@@ -110,3 +110,21 @@ def test_cli_pads_off_grid_batches_to_tile_grid(tmp_path, monkeypatch):
              config_path=str(config_path), pad_batches="none")
     assert seen == [9]
     assert len(list(out.glob("*.wav"))) == 9
+
+    # full: partial tail chunks pad to the full batch_size, so the 9
+    # files split [8, 1] but BOTH chunks run the one 8-row program.
+    # The spy fires at jit TRACE time, so `seen` counts compiled batch
+    # shapes: exactly one 8-row trace = one compile per mel length
+    seen.clear()
+    out = tmp_path / "out_full"
+    cli.main(str(filelist), str(ckpt), str(out), 0.8, 0.0, batch_size=8,
+             config_path=str(config_path), pad_batches="full")
+    assert seen == [8]
+    assert len(list(out.glob("*.wav"))) == 9
+    # grid leaves small tails exact (padding 1 -> 8 is full's job)
+    seen.clear()
+    out = tmp_path / "out_grid8"
+    cli.main(str(filelist), str(ckpt), str(out), 0.8, 0.0, batch_size=8,
+             config_path=str(config_path), pad_batches="grid")
+    assert seen == [8, 1]
+    assert len(list(out.glob("*.wav"))) == 9
