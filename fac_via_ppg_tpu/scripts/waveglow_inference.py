@@ -27,13 +27,41 @@ from fac_via_ppg_tpu.data.mel2samp import MAX_WAV_VALUE, files_to_list
 from fac_via_ppg_tpu.models.denoiser import Denoiser
 from fac_via_ppg_tpu.models.waveglow import waveglow_infer
 from fac_via_ppg_tpu.utils.inference import load_waveglow_model
+from fac_via_ppg_tpu.utils.numeric import round_batch_to_grid, round_up
+
+
+def bucket_mels(mels, mel_bucket: int):
+    """(file, (n_mel, T) mel) pairs -> (file, padded mel, true_frames).
+
+    `mel_bucket` > 0 pads each mel's time axis up to a multiple of
+    `mel_bucket` frames by edge-repeating the last frame, so a corpus of
+    distinct utterance lengths still collapses into a few padded-length
+    groups that form full device batches (audio is trimmed back to
+    true_frames * hop after synthesis).  This is the bucket-pad + trim
+    semantic the fused serving path already uses
+    (eval/fused.py featurize / collect_feature_pairs); the edge-repeat
+    keeps the pad region spectrally continuous so the conv receptive
+    field doesn't drag a hard boundary into the real tail.  0 = exact
+    lengths (reference semantics: one program per distinct length).
+    """
+    out = []
+    for f, m in mels:
+        t = m.shape[-1]
+        if mel_bucket:
+            t_pad = round_up(t, mel_bucket)
+            if t_pad != t:
+                m = np.concatenate(
+                    [m, np.repeat(m[:, -1:], t_pad - t, axis=1)], axis=1
+                )
+        out.append((f, m, t))
+    return out
 
 
 def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
          batch_size=1, sampling_rate=16000, data_parallel=False,
          compute_dtype="float32", wn_impl="xla", model_parallel=1,
          cond_impl="dense", config_path=None, snr_budget_db=None,
-         wn_int8_flows=0, pad_batches="grid"):
+         wn_int8_flows=0, pad_batches="grid", mel_bucket=0):
     if cond_impl in ("int8", "auto") and wn_impl == "pallas":
         raise SystemExit("--cond_impl int8/auto requires --wn_impl xla "
                          "or flow")
@@ -71,10 +99,12 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
     key = jax.random.PRNGKey(0)
 
     # Group same-shaped mels into batches to amortize compiles + fill MXU.
+    # --mel_bucket pads time axes to a frame bucket first, so distinct
+    # utterance lengths still form full batches (see bucket_mels).
     mels = [(f, np.load(f)) for f in files]
     by_len = {}
-    for f, m in mels:
-        by_len.setdefault(m.shape[-1], []).append((f, m))
+    for f, m, t in bucket_mels(mels, mel_bucket):
+        by_len.setdefault(m.shape[-1], []).append((f, m, t))
 
     import jax.numpy as jnp
 
@@ -171,14 +201,17 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
         print(f"vocoder mesh: {mesh.shape['data']} data x "
               f"{mesh.shape['model']} model")
 
+    hop = cfg.hop_length
+
     def write_batch(chunk, audio_dev):
         # the only host sync: np.asarray blocks on the device buffers
         audio = np.asarray(audio_dev).astype(np.int16)
-        for (f, _), wav in zip(chunk, audio):
+        for (f, _, t), wav in zip(chunk, audio):
             out = os.path.join(
                 output_dir, os.path.basename(f) + "_synthesis.wav"
             )
-            wavfile.write(out, sampling_rate, wav)
+            # trim mel-bucket padding back to the true length
+            wavfile.write(out, sampling_rate, wav[: t * hop])
             print(out)
 
     # One batch stays in flight (JAX async dispatch): batch N+1's device
@@ -186,15 +219,11 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
     # same overlap eval/streaming.py measures at ~1.5x on this link.
     inflight = None
     try:
-        from fac_via_ppg_tpu.utils.numeric import (
-            round_batch_to_grid, round_up,
-        )
-
         for length, group in by_len.items():
             for i in range(0, len(group), batch_size):
                 chunk = group[i : i + batch_size]
                 mel_batch = np.stack(
-                    [m for _, m in chunk]
+                    [m for _, m, _ in chunk]
                 ).astype(np.float32)
                 # batch padding policy (rows repeat the last mel; outputs
                 # are trimmed to the real rows):
@@ -292,6 +321,17 @@ if __name__ == "__main__":
                         help="config.json naming a non-default architecture "
                              "(reference waveglow/config.json schema); "
                              "default: the reference 12-flow model")
+    parser.add_argument("--mel_bucket", type=int, default=0,
+                        help="pad each mel's time axis up to a multiple "
+                             "of N frames (edge-repeat; audio trimmed to "
+                             "the true length), so distinct utterance "
+                             "lengths still form full device batches — "
+                             "without this, batching only groups "
+                             "IDENTICAL lengths and a real corpus "
+                             "degenerates to batch 1.  64 is a good "
+                             "serving value (the fused path's feature "
+                             "bucket); 0 = exact lengths (default, "
+                             "reference semantics)")
     parser.add_argument("--pad_batches", default="grid",
                         choices=["grid", "full", "none"],
                         help="batch padding: grid (default) rounds "
@@ -317,4 +357,5 @@ if __name__ == "__main__":
          args.denoiser_strength, args.batch_size, args.sampling_rate,
          args.data_parallel, args.compute_dtype, args.wn_impl,
          args.model_parallel, args.cond_impl, args.config,
-         args.snr_budget_db, args.wn_int8_flows, args.pad_batches)
+         args.snr_budget_db, args.wn_int8_flows, args.pad_batches,
+         args.mel_bucket)

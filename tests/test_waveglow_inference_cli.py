@@ -128,3 +128,66 @@ def test_cli_pads_off_grid_batches_to_tile_grid(tmp_path, monkeypatch):
              config_path=str(config_path), pad_batches="grid")
     assert seen == [8, 1]
     assert len(list(out.glob("*.wav"))) == 9
+
+
+def test_bucket_mels_pads_and_tracks_true_length():
+    """bucket_mels collapses distinct lengths into shared padded-length
+    groups (edge-repeated last frame) and remembers the true frame count
+    for post-synthesis trimming; bucket 0 keeps exact lengths."""
+    from fac_via_ppg_tpu.scripts.waveglow_inference import bucket_mels
+
+    mels = [("a", np.arange(10, dtype=np.float32).reshape(2, 5)),
+            ("b", np.ones((2, 8), np.float32)),
+            ("c", np.ones((2, 3), np.float32))]
+    out = bucket_mels(mels, 8)
+    assert [(m.shape[-1], t) for _, m, t in out] == [(8, 5), (8, 8), (8, 3)]
+    # pad region edge-repeats the final frame
+    np.testing.assert_array_equal(out[0][1][:, 5:],
+                                  np.repeat(out[0][1][:, 4:5], 3, axis=1))
+    # bucket 0: untouched
+    out0 = bucket_mels(mels, 0)
+    assert [(m.shape[-1], t) for _, m, t in out0] == [(5, 5), (8, 8), (3, 3)]
+
+
+@pytest.mark.slow  # one tiny-model compile
+def test_cli_mel_bucket_batches_distinct_lengths(tmp_path, monkeypatch):
+    """--mel_bucket 32: mels of length 24 and 30 pad into ONE 32-frame
+    group, synthesize as a single 2-row program, and each wav trims back
+    to its true length x hop."""
+    import fac_via_ppg_tpu.scripts.waveglow_inference as cli
+
+    cfg = WaveGlowConfig.from_dict(TINY)
+    params = init_waveglow(jax.random.PRNGKey(0), cfg)
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), params, {}, 1e-4, 0)
+    config_path = tmp_path / "config.json"
+    config_path.write_text(json.dumps({"waveglow_config": TINY}))
+
+    rs = np.random.RandomState(0)
+    lens = [24, 30]
+    files = []
+    for i, frames in enumerate(lens):
+        mel = (rs.randn(80, frames) * 0.5 - 5).astype(np.float32)
+        path = tmp_path / f"mel{i}.npy"
+        np.save(path, mel)
+        files.append(str(path))
+    filelist = tmp_path / "mels.txt"
+    filelist.write_text("\n".join(files) + "\n")
+
+    real_infer = cli.waveglow_infer
+    shapes = []
+
+    def spy(cfg_, params_, mel, *a, **kw):
+        shapes.append(tuple(int(d) for d in mel.shape))
+        return real_infer(cfg_, params_, mel, *a, **kw)
+
+    monkeypatch.setattr(cli, "waveglow_infer", spy)
+    out = tmp_path / "out"
+    cli.main(str(filelist), str(ckpt), str(out), 0.8, 0.0, batch_size=2,
+             config_path=str(config_path), mel_bucket=32)
+    assert shapes == [(2, 80, 32)]  # one traced program for both lengths
+    for i, frames in enumerate(lens):
+        sr, wav = wavfile.read(out / f"mel{i}.npy_synthesis.wav")
+        assert sr == 16000
+        assert len(wav) == frames * cfg.hop_length
+        assert np.abs(wav).max() > 0
