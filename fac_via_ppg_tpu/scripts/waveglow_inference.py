@@ -105,6 +105,17 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
     by_len = {}
     for f, m, t in bucket_mels(mels, mel_bucket):
         by_len.setdefault(m.shape[-1], []).append((f, m, t))
+    if batch_size > 1 and not mel_bucket and len(by_len) > len(files) // 2:
+        import warnings
+
+        warnings.warn(
+            f"batching requested (-b {batch_size}) but the {len(files)} "
+            f"mels have {len(by_len)} distinct lengths, so exact-length "
+            "grouping leaves most batches near size 1 (one XLA compile "
+            "per distinct length).  Pass --mel_bucket 64 to pad lengths "
+            "into shared buckets and form full batches.",
+            stacklevel=2,
+        )
 
     import jax.numpy as jnp
 

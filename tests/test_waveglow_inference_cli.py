@@ -191,3 +191,37 @@ def test_cli_mel_bucket_batches_distinct_lengths(tmp_path, monkeypatch):
         assert sr == 16000
         assert len(wav) == frames * cfg.hop_length
         assert np.abs(wav).max() > 0
+
+
+def test_cli_hints_mel_bucket_for_distinct_lengths(tmp_path):
+    """Batching requested over a corpus of all-distinct lengths warns
+    with the --mel_bucket suggestion (exact-length grouping would leave
+    every batch at size 1); a bucketed run doesn't."""
+    import warnings
+
+    import fac_via_ppg_tpu.scripts.waveglow_inference as cli
+
+    cfg = WaveGlowConfig.from_dict(TINY)
+    params = init_waveglow(jax.random.PRNGKey(0), cfg)
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), params, {}, 1e-4, 0)
+    config_path = tmp_path / "config.json"
+    config_path.write_text(json.dumps({"waveglow_config": TINY}))
+    rs = np.random.RandomState(0)
+    files = []
+    for i, frames in enumerate([17, 21, 26]):
+        path = tmp_path / f"mel{i}.npy"
+        np.save(path, (rs.randn(80, frames) * 0.5 - 5).astype(np.float32))
+        files.append(str(path))
+    filelist = tmp_path / "mels.txt"
+    filelist.write_text("\n".join(files) + "\n")
+
+    for bucket, expect in ((0, True), (32, False)):
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            cli.main(str(filelist), str(ckpt),
+                     str(tmp_path / f"out_b{bucket}"), 0.8, 0.0,
+                     batch_size=4, config_path=str(config_path),
+                     mel_bucket=bucket)
+        hit = any("--mel_bucket" in str(w.message) for w in rec)
+        assert hit == expect, (bucket, [str(w.message) for w in rec])
