@@ -143,7 +143,8 @@ class StreamingAccentConverter:
                  frontend_threads: int = 1, data_parallel: bool = False,
                  model_parallel: int = 1, pipeline_depth: int = 2,
                  on_error: str = "raise", cond_impl: str = "dense",
-                 calibration_mel=None, snr_budget_db=None):
+                 calibration_mel=None, snr_budget_db=None,
+                 pad_to_grid: bool = True):
         self.t2_cfg = t2_cfg
         self.tacotron_params = tacotron_params
         self.tacotron_state = tacotron_state
@@ -160,16 +161,22 @@ class StreamingAccentConverter:
             import warnings
             from fac_via_ppg_tpu.utils.numeric import round_batch_to_grid
 
+            mitigation = (
+                f"Micro-batches are auto-padded to "
+                f"{round_batch_to_grid(batch_size)} rows on the device "
+                "(FusedSynthesizer pad_to_grid), so throughput is "
+                f"{batch_size}/{round_batch_to_grid(batch_size)} of that "
+                "grid point; prefer 8/16/24 to not waste the pad rows."
+                if pad_to_grid else
+                "pad_to_grid=False runs the off-grid program as-is; "
+                "prefer 8/16/24."
+            )
             warnings.warn(
                 f"batch_size {batch_size} is off the TPU tile grid "
                 "(multiples of 8): the off-grid batch axis retiles the "
                 "serving tensors — batch 12 measured 1.6-1.9x SLOWER "
                 "than both neighbors (docs/PERF.md serving frontier).  "
-                f"Micro-batches are auto-padded to "
-                f"{round_batch_to_grid(batch_size)} rows on the device "
-                "(FusedSynthesizer pad_to_grid), so throughput is "
-                f"{batch_size}/{round_batch_to_grid(batch_size)} of that "
-                "grid point; prefer 8/16/24 to not waste the pad rows.",
+                + mitigation,
                 stacklevel=2,
             )
         self.queue_depth = max(queue_depth, 2 * batch_size)
@@ -210,6 +217,7 @@ class StreamingAccentConverter:
                 cond_impl=cond_impl,
                 calibration_mel=calibration_mel,
                 snr_budget_db=snr_budget_db,
+                pad_to_grid=pad_to_grid,
             )
         elif batch_size > 1 or data_parallel or model_parallel > 1:
             raise ValueError(

@@ -65,6 +65,11 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
     if cond_impl in ("int8", "auto") and wn_impl == "pallas":
         raise SystemExit("--cond_impl int8/auto requires --wn_impl xla "
                          "or flow")
+    # cheap flag validation before the (potentially minutes-long over
+    # this link) checkpoint restore
+    if pad_batches not in ("grid", "full", "none"):
+        raise SystemExit(f"--pad_batches must be grid/full/none, "
+                         f"got {pad_batches!r}")
     # The reference CLI recovers the architecture from the pickled model
     # object (waveglow/inference.py:40); our checkpoints are bare param
     # pytrees, so non-default sizes are named explicitly via the same
@@ -72,17 +77,15 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
     if config_path is not None:
         import json
 
-        cfg = WaveGlowConfig.from_dict(
-            json.load(open(config_path))["waveglow_config"]
-        )
+        with open(config_path) as fh:
+            cfg = WaveGlowConfig.from_dict(
+                json.load(fh)["waveglow_config"]
+            )
     else:
         cfg = WaveGlowConfig()
     params = load_waveglow_model(waveglow_path, cfg)
     denoiser = Denoiser(cfg, params) if denoiser_strength > 0 else None
 
-    if pad_batches not in ("grid", "full", "none"):
-        raise SystemExit(f"--pad_batches must be grid/full/none, "
-                         f"got {pad_batches!r}")
     if batch_size > 8 and batch_size % 8 and pad_batches == "none":
         import warnings
 
@@ -105,18 +108,6 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
     by_len = {}
     for f, m, t in bucket_mels(mels, mel_bucket):
         by_len.setdefault(m.shape[-1], []).append((f, m, t))
-    if batch_size > 1 and not mel_bucket and len(by_len) > len(files) // 2:
-        import warnings
-
-        warnings.warn(
-            f"batching requested (-b {batch_size}) but the {len(files)} "
-            f"mels have {len(by_len)} distinct lengths, so exact-length "
-            "grouping leaves most batches near size 1 (one XLA compile "
-            "per distinct length).  Pass --mel_bucket 64 to pad lengths "
-            "into shared buckets and form full batches.",
-            stacklevel=2,
-        )
-
     import jax.numpy as jnp
 
     if cond_impl == "auto":
@@ -212,11 +203,31 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
         print(f"vocoder mesh: {mesh.shape['data']} data x "
               f"{mesh.shape['model']} model")
 
+    # after the mesh bump, so --data_parallel with the default -b 1
+    # (effective batch = mesh width) also gets the hint
+    if (batch_size > 1 and not mel_bucket and len(files) > 1
+            and len(by_len) > len(files) // 2):
+        import warnings
+
+        warnings.warn(
+            f"batching requested (effective batch {batch_size}) but the "
+            f"{len(files)} mels have {len(by_len)} distinct lengths, so "
+            "exact-length grouping leaves most batches near size 1 (one "
+            "XLA compile per distinct length).  Pass --mel_bucket 64 to "
+            "pad lengths into shared buckets and form full batches.",
+            stacklevel=2,
+        )
+
     hop = cfg.hop_length
 
     def write_batch(chunk, audio_dev):
-        # the only host sync: np.asarray blocks on the device buffers
-        audio = np.asarray(audio_dev).astype(np.int16)
+        # the only host sync: np.asarray blocks on the device buffers.
+        # Clip before the int16 cast: a sample past full scale would
+        # WRAP (1.01 -> -32441, an audible polarity flip), not saturate
+        # (eval/fused.py clips the same way, fused.py int16 emit)
+        audio = np.clip(
+            np.asarray(audio_dev), -MAX_WAV_VALUE, MAX_WAV_VALUE - 1
+        ).astype(np.int16)
         for (f, _, t), wav in zip(chunk, audio):
             out = os.path.join(
                 output_dir, os.path.basename(f) + "_synthesis.wav"
@@ -230,9 +241,15 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
     # same overlap eval/streaming.py measures at ~1.5x on this link.
     inflight = None
     try:
+        # Under grid/full, chunk at the grid-rounded batch size directly:
+        # with -b 12 over 24 files, chunks of [16, 8] dispatch 24 device
+        # rows total, vs [12->16, 12->16] = 32 rows if we chunked at the
+        # off-grid 12 and padded each chunk.
+        chunk_size = (batch_size if pad_batches == "none"
+                      else round_batch_to_grid(batch_size))
         for length, group in by_len.items():
-            for i in range(0, len(group), batch_size):
-                chunk = group[i : i + batch_size]
+            for i in range(0, len(group), chunk_size):
+                chunk = group[i : i + chunk_size]
                 mel_batch = np.stack(
                     [m for _, m, _ in chunk]
                 ).astype(np.float32)
@@ -242,13 +259,13 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
                 #     to the 8-grid: the off-grid program is SLOWER in
                 #     absolute audio/s (measured B=12 crater, docs/PERF.md)
                 #   full — additionally pad partial tail chunks to the
-                #     full batch_size, so each mel length compiles exactly
+                #     full chunk size, so each mel length compiles exactly
                 #     one program (serving: compile time dominates)
                 #   none — exact chunk sizes (old behavior)
                 if pad_batches == "none":
                     target = len(chunk)
                 else:
-                    target = (batch_size if pad_batches == "full"
+                    target = (chunk_size if pad_batches == "full"
                               else len(chunk))
                     target = round_batch_to_grid(target)
                 if mesh is not None:

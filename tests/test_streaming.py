@@ -385,16 +385,22 @@ def test_off_grid_batch_size_warns(tmp_path):
     wg_params = remove_weightnorm(
         init_waveglow(jax.random.PRNGKey(1), wg_cfg)
     )
-    for b, expect in ((12, True), (8, False)):
+    for b, pad, expect in ((12, True, True), (8, True, False),
+                           (12, False, True)):
         with warnings.catch_warnings(record=True) as rec:
             warnings.simplefilter("always")
-            StreamingAccentConverter(
+            conv = StreamingAccentConverter(
                 t2_cfg, t2_params, t2_state, wg_cfg, wg_params,
-                deps=deps, fused=True, batch_size=b,
+                deps=deps, fused=True, batch_size=b, pad_to_grid=pad,
             )
+        assert conv.fused.pad_to_grid is pad
         hit = any("tile grid" in str(w.message) for w in rec)
         assert hit == expect, (b, [str(w.message) for w in rec])
-        if expect:
+        if expect and pad:
             # the warning documents the mitigation: micro-batches are
             # auto-padded up to the grid (12 -> 16) on the device
             assert any("auto-padded to 16" in str(w.message) for w in rec)
+        elif expect:
+            # opt-out plumbed through: the warning says the off-grid
+            # program runs as-is
+            assert any("pad_to_grid=False" in str(w.message) for w in rec)

@@ -129,6 +129,21 @@ def test_cli_pads_off_grid_batches_to_tile_grid(tmp_path, monkeypatch):
     assert seen == [8, 1]
     assert len(list(out.glob("*.wav"))) == 9
 
+    # grid chunks at the grid-rounded batch size, not the off-grid one:
+    # 24 files at -b 12 dispatch as [16, 8] = 24 device rows, not
+    # [12->16, 12->16] = 32
+    for i in range(9, 24):
+        path = tmp_path / f"mel{i}.npy"
+        np.save(path, (rs.randn(80, 24) * 0.5 - 5).astype(np.float32))
+        files.append(str(path))
+    filelist.write_text("\n".join(files) + "\n")
+    seen.clear()
+    out = tmp_path / "out_grid24"
+    cli.main(str(filelist), str(ckpt), str(out), 0.8, 0.0, batch_size=12,
+             config_path=str(config_path), pad_batches="grid")
+    assert seen == [16, 8]
+    assert len(list(out.glob("*.wav"))) == 24
+
 
 def test_bucket_mels_pads_and_tracks_true_length():
     """bucket_mels collapses distinct lengths into shared padded-length
@@ -225,3 +240,46 @@ def test_cli_hints_mel_bucket_for_distinct_lengths(tmp_path):
                      mel_bucket=bucket)
         hit = any("--mel_bucket" in str(w.message) for w in rec)
         assert hit == expect, (bucket, [str(w.message) for w in rec])
+
+    # a single-file list can't form a batch whatever the bucketing: no
+    # hint (and no nonsense about "1 mels have 1 distinct lengths")
+    filelist.write_text(files[0] + "\n")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        cli.main(str(filelist), str(ckpt), str(tmp_path / "out_one"),
+                 0.8, 0.0, batch_size=8, config_path=str(config_path))
+    assert not any("--mel_bucket" in str(w.message) for w in rec)
+
+
+def test_cli_clips_overfull_scale_audio(tmp_path, monkeypatch):
+    """A vocoder sample past full scale must SATURATE, not wrap: 1.01 x
+    32768 cast straight to int16 would flip to ~-32441 (an audible
+    polarity click).  Force the model output past 1.0 and check the wav
+    pins at the int16 rails."""
+    import jax.numpy as jnp
+
+    import fac_via_ppg_tpu.scripts.waveglow_inference as cli
+
+    cfg = WaveGlowConfig.from_dict(TINY)
+    params = init_waveglow(jax.random.PRNGKey(0), cfg)
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), params, {}, 1e-4, 0)
+    config_path = tmp_path / "config.json"
+    config_path.write_text(json.dumps({"waveglow_config": TINY}))
+    np.save(tmp_path / "mel.npy",
+            (np.random.RandomState(0).randn(80, 16) * 0.5 - 5)
+            .astype(np.float32))
+    filelist = tmp_path / "mels.txt"
+    filelist.write_text(str(tmp_path / "mel.npy") + "\n")
+
+    real_infer = cli.waveglow_infer
+
+    def spy(*a, **kw):
+        return jnp.full_like(real_infer(*a, **kw), 1.01)
+
+    monkeypatch.setattr(cli, "waveglow_infer", spy)
+    out = tmp_path / "out"
+    cli.main(str(filelist), str(ckpt), str(out), 0.8, 0.0, batch_size=1,
+             config_path=str(config_path))
+    _, wav = wavfile.read(out / "mel.npy_synthesis.wav")
+    assert (wav == 32767).all(), (wav.min(), wav.max())
