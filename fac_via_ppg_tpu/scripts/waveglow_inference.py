@@ -4,9 +4,10 @@ Mirrors the reference (src/waveglow/inference.py:33-73): a filelist of mel
 .npy files -> wavs, sigma / denoiser options.  BASELINE config 2 surface
 ("Batched WaveGlow vocoder inference").
 
-The reference loads `.pt` mel tensors; here mels are `.npy` (n_mel, T)
-arrays as produced by scripts/mel2samp_dump.py.  Same-length mels are
-stacked into true device batches.
+Mels are `.npy` (n_mel, T) arrays as produced by scripts/mel2samp_dump.py,
+or the reference's torch-saved `.pt` tensors (its filelist format works
+unchanged — see load_mel).  Same-length mels are stacked into true device
+batches; `--mel_bucket` lets distinct lengths share batches.
 
 Usage:
   python -m fac_via_ppg_tpu.scripts.waveglow_inference -f mels.txt \
@@ -28,6 +29,21 @@ from fac_via_ppg_tpu.models.denoiser import Denoiser
 from fac_via_ppg_tpu.models.waveglow import waveglow_infer
 from fac_via_ppg_tpu.utils.inference import load_waveglow_model
 from fac_via_ppg_tpu.utils.numeric import round_batch_to_grid, round_up
+
+
+def load_mel(path: str) -> np.ndarray:
+    """Load one (n_mel, T) mel file: .npy (scripts/mel2samp_dump.py) or
+    the reference's torch-saved .pt tensors (its inference filelist
+    format, src/waveglow/inference.py:46-48 / mel2samp.py saves with
+    torch.save) — so a reference deployment's existing mel dumps serve
+    unchanged."""
+    if path.endswith((".pt", ".pth")):
+        import torch
+
+        m = torch.load(path, map_location="cpu", weights_only=True)
+        return np.asarray(m.detach().numpy() if hasattr(m, "detach")
+                          else m, np.float32)
+    return np.load(path)
 
 
 def bucket_mels(mels, mel_bucket: int):
@@ -104,7 +120,7 @@ def main(mel_files, waveglow_path, output_dir, sigma, denoiser_strength,
     # Group same-shaped mels into batches to amortize compiles + fill MXU.
     # --mel_bucket pads time axes to a frame bucket first, so distinct
     # utterance lengths still form full batches (see bucket_mels).
-    mels = [(f, np.load(f)) for f in files]
+    mels = [(f, load_mel(f)) for f in files]
     by_len = {}
     for f, m, t in bucket_mels(mels, mel_bucket):
         by_len.setdefault(m.shape[-1], []).append((f, m, t))
