@@ -208,6 +208,8 @@ def test_cli_mel_bucket_batches_distinct_lengths(tmp_path, monkeypatch):
         assert np.abs(wav).max() > 0
 
 
+@pytest.mark.slow  # three tiny-model compiles; the logic itself has
+# fast-tier coverage (bucket_mels unit test / the always-fast CLI e2e)
 def test_cli_hints_mel_bucket_for_distinct_lengths(tmp_path):
     """Batching requested over a corpus of all-distinct lengths warns
     with the --mel_bucket suggestion (exact-length grouping would leave
@@ -251,6 +253,8 @@ def test_cli_hints_mel_bucket_for_distinct_lengths(tmp_path):
     assert not any("--mel_bucket" in str(w.message) for w in rec)
 
 
+@pytest.mark.slow  # one tiny-model compile; the logic itself has
+# fast-tier coverage (bucket_mels unit test / the always-fast CLI e2e)
 def test_cli_clips_overfull_scale_audio(tmp_path, monkeypatch):
     """A vocoder sample past full scale must SATURATE, not wrap: 1.01 x
     32768 cast straight to int16 would flip to ~-32441 (an audible
@@ -285,6 +289,8 @@ def test_cli_clips_overfull_scale_audio(tmp_path, monkeypatch):
     assert (wav == 32767).all(), (wav.min(), wav.max())
 
 
+@pytest.mark.slow  # one tiny-model compile; the logic itself has
+# fast-tier coverage (bucket_mels unit test / the always-fast CLI e2e)
 def test_cli_loads_reference_pt_mel_filelists(tmp_path):
     """The reference's inference filelist points at torch-saved .pt mel
     tensors (src/waveglow/inference.py:46-48); those files serve here
