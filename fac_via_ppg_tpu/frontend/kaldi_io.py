@@ -102,29 +102,39 @@ def _read_text_matrix(f: BinaryIO) -> np.ndarray:
     return np.vstack(rows).astype(np.float32)
 
 
+def _checked_count(n: int, what: str, limit: int = 10**8) -> int:
+    """Dimension/count fields from untrusted files: a corrupt value must
+    not turn into a negative read (io raises a bare ValueError) or an
+    attempted multi-GB allocation."""
+    if n < 0 or n > limit:
+        raise KaldiIOError(f"Implausible {what} {n} in Kaldi stream.")
+    return n
+
+
 def read_matrix_body(f: BinaryIO, token: str) -> np.ndarray:
     """Binary matrix payload following an already-consumed FM/DM token."""
     if token not in ("FM", "DM"):
         raise KaldiIOError(f"Expected matrix token FM/DM, got {token!r}.")
-    rows = _read_basic(f, "i")
-    cols = _read_basic(f, "i")
+    rows = _checked_count(_read_basic(f, "i"), "matrix rows")
+    cols = _checked_count(_read_basic(f, "i"), "matrix cols")
+    _checked_count(rows * cols, "matrix size", limit=10**9)
     dt = np.float32 if token == "FM" else np.float64
-    data = np.frombuffer(f.read(rows * cols * dt().itemsize), dtype=dt)
-    if data.size != rows * cols:
+    raw = f.read(rows * cols * dt().itemsize)
+    if len(raw) != rows * cols * dt().itemsize:
         raise KaldiIOError("Matrix data truncated.")
-    return data.reshape(rows, cols).astype(np.float32)
+    return np.frombuffer(raw, dtype=dt).reshape(rows, cols).astype(np.float32)
 
 
 def read_vector_body(f: BinaryIO, token: str) -> np.ndarray:
     """Binary vector payload following an already-consumed FV/DV token."""
     if token not in ("FV", "DV"):
         raise KaldiIOError(f"Expected vector token FV/DV, got {token!r}.")
-    dim = _read_basic(f, "i")
+    dim = _checked_count(_read_basic(f, "i"), "vector dim", limit=10**9)
     dt = np.float32 if token == "FV" else np.float64
-    data = np.frombuffer(f.read(dim * dt().itemsize), dtype=dt)
-    if data.size != dim:
+    raw = f.read(dim * dt().itemsize)
+    if len(raw) != dim * dt().itemsize:
         raise KaldiIOError("Vector data truncated.")
-    return data.astype(np.float32)
+    return np.frombuffer(raw, dtype=dt).astype(np.float32)
 
 
 def read_matrix_stream(f: BinaryIO) -> np.ndarray:
@@ -192,12 +202,18 @@ def read_sparse_matrix_stream(f: BinaryIO) -> np.ndarray:
         row_token = _read_token(f)
         if row_token != "SV":
             raise KaldiIOError(f"Expected SV token, got {row_token!r}.")
-        dim = _read_basic(f, "i")
-        nnz = _read_basic(f, "i")
+        dim = _checked_count(_read_basic(f, "i"), "sparse-row dim")
+        nnz = _checked_count(_read_basic(f, "i"), "sparse-row nnz")
         row = np.zeros(dim, dtype=np.float32)
         for _ in range(nnz):
             idx = _read_basic(f, "i")
             val = _read_basic(f, "f")
+            if not 0 <= idx < dim:
+                # a negative index would silently wrap (Python indexing)
+                # and corrupt the row instead of failing
+                raise KaldiIOError(
+                    f"Sparse index {idx} out of range for dim {dim}."
+                )
             row[idx] = val
         rows.append(row)
     if not rows:

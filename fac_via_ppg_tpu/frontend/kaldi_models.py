@@ -75,6 +75,27 @@ def _write_int_vector(f: BinaryIO, values):
     f.write(np.asarray(values, dtype="<i4").tobytes())
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _corrupt_guard(path: str):
+    """Public readers of untrusted model files must fail with KaldiIOError
+    naming the file — never a bare struct.error / IndexError / reshape
+    ValueError from deep inside the parse (fuzzed in
+    tests/test_fuzz_parsers.py)."""
+    try:
+        yield
+    except KaldiIOError:
+        raise
+    except (struct.error, ValueError, IndexError, OverflowError,
+            EOFError) as e:
+        raise KaldiIOError(
+            f"{path}: malformed or corrupt model file "
+            f"({type(e).__name__}: {e})"
+        ) from e
+
+
 def _open_binary(path: str) -> BinaryIO:
     f = open(path, "rb")
     if f.read(2) != _BINARY_MARKER:
@@ -185,7 +206,7 @@ def read_transition_model_stream(f: BinaryIO) -> TransitionModel:
 
 def read_transition_model(path: str) -> TransitionModel:
     """Read the TransitionModel from the head of a binary .mdl file."""
-    with _open_binary(path) as f:
+    with _corrupt_guard(path), _open_binary(path) as f:
         return read_transition_model_stream(f)
 
 
@@ -244,9 +265,29 @@ class VectorFst:
         return sum(len(s.arcs) for s in self.states)
 
 
+def _read_exact(f: BinaryIO, n: int, what: str) -> bytes:
+    """Exact-length read from an untrusted stream: corrupt counts must not
+    become negative reads (bare ValueError from io) and truncation must
+    surface as KaldiIOError, not struct.error downstream."""
+    if n < 0:
+        raise KaldiIOError(f"Negative {what} length {n} in FST stream")
+    data = f.read(n)
+    if len(data) != n:
+        raise KaldiIOError(
+            f"Truncated FST stream: wanted {n} bytes of {what}, "
+            f"got {len(data)}"
+        )
+    return data
+
+
 def _read_fst_string(f: BinaryIO) -> str:
-    (n,) = struct.unpack("<i", f.read(4))
-    return f.read(n).decode("ascii")
+    (n,) = struct.unpack("<i", _read_exact(f, 4, "string header"))
+    if n > 10**4:
+        raise KaldiIOError(f"Implausible FST string length {n}")
+    try:
+        return _read_exact(f, n, "string").decode("ascii")
+    except UnicodeDecodeError as e:
+        raise KaldiIOError(f"Non-ASCII FST type string: {e}") from e
 
 
 def _write_fst_string(f: BinaryIO, s: str):
@@ -255,8 +296,8 @@ def _write_fst_string(f: BinaryIO, s: str):
 
 def read_fst(path: str) -> VectorFst:
     """Read a binary StdVectorFst (the reference's den.fst surface)."""
-    with open(path, "rb") as f:
-        (magic,) = struct.unpack("<i", f.read(4))
+    with _corrupt_guard(path), open(path, "rb") as f:
+        (magic,) = struct.unpack("<i", _read_exact(f, 4, "magic"))
         if magic != FST_MAGIC:
             raise KaldiIOError(
                 f"{path}: bad OpenFst magic {magic} (want {FST_MAGIC})"
@@ -267,7 +308,7 @@ def read_fst(path: str) -> VectorFst:
             raise KaldiIOError(
                 f"only StdVectorFst is supported, got {fsttype}/{arctype}"
             )
-        _version, flags = struct.unpack("<ii", f.read(8))
+        _version, flags = struct.unpack("<ii", _read_exact(f, 8, "header"))
         if flags & 0x3:
             # bit 0/1 = attached input/output SymbolTables, serialized
             # between the header and the states — not state data.
@@ -276,13 +317,19 @@ def read_fst(path: str) -> VectorFst:
                 "supported; strip them with fstcompile/fstsymbols first"
             )
         _properties, start, numstates, _numarcs = struct.unpack(
-            "<Qqqq", f.read(32)
+            "<Qqqq", _read_exact(f, 32, "counts")
         )
+        if not 0 <= numstates <= 10**8:
+            raise KaldiIOError(f"Implausible FST state count {numstates}")
         states = []
         for _ in range(numstates):
-            (final,) = struct.unpack("<f", f.read(4))
-            (narcs,) = struct.unpack("<q", f.read(8))
-            raw = np.frombuffer(f.read(16 * narcs), dtype="<u1")
+            (final,) = struct.unpack("<f", _read_exact(f, 4, "final weight"))
+            (narcs,) = struct.unpack("<q", _read_exact(f, 8, "arc count"))
+            if not 0 <= narcs <= 10**8:
+                raise KaldiIOError(f"Implausible FST arc count {narcs}")
+            raw = np.frombuffer(
+                _read_exact(f, 16 * narcs, "arcs"), dtype="<u1"
+            )
             view = raw.reshape(narcs, 16) if narcs else raw.reshape(0, 16)
             ilabels = view[:, 0:4].copy().view("<i4").ravel()
             olabels = view[:, 4:8].copy().view("<i4").ravel()
@@ -404,7 +451,7 @@ def _read_event_map(f: BinaryIO) -> EventMapNode:
 
 def read_context_dependency(path: str) -> ContextDependency:
     """Read a Kaldi decision tree (the `tree` file next to final.mdl)."""
-    with _open_binary(path) as f:
+    with _corrupt_guard(path), _open_binary(path) as f:
         _expect_token(f, "ContextDependency")
         n = _read_i(f)
         p = _read_i(f)

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import functools
 import re
+import struct
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -563,26 +564,40 @@ def _read_bracket_array(ts: _TokenStream) -> np.ndarray:
 
 
 def load_nnet3(path: str) -> Nnet3:
-    """Load an nnet3 model file (text or binary format)."""
-    with open(path, "rb") as f:
-        head = f.read(2)
-        if head == b"\x00B":
-            from fac_via_ppg_tpu.frontend.nnet3_binary import (
-                read_nnet3_binary,
-            )
+    """Load an nnet3 model file (text or binary format).
 
-            return read_nnet3_binary(f)
-        if head.startswith(b"\x00") or not head:
-            # lone \x00 (truncated binary header) or an empty file is not
-            # a text model — don't fall through and "parse" nothing
-            raise ValueError(
-                f"{path}: truncated or corrupt nnet3 file "
-                f"(header {head!r})"
-            )
-    with open(path, "r") as f:
-        net = parse_nnet3_text(f.read())
-    _fix_matrix_shapes(net)
-    return net
+    A malformed or corrupt file raises ValueError naming the path — never
+    a bare struct.error / IndexError / KeyError from deep inside the
+    parse (fuzzed in tests/test_fuzz_parsers.py)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(2)
+            if head == b"\x00B":
+                from fac_via_ppg_tpu.frontend.nnet3_binary import (
+                    read_nnet3_binary,
+                )
+
+                return read_nnet3_binary(f)
+            if head.startswith(b"\x00") or not head:
+                # lone \x00 (truncated binary header) or an empty file is
+                # not a text model — don't fall through and "parse" nothing
+                raise ValueError(
+                    f"{path}: truncated or corrupt nnet3 file "
+                    f"(header {head!r})"
+                )
+        with open(path, "r") as f:
+            # a non-UTF-8 byte raises UnicodeDecodeError, a ValueError
+            net = parse_nnet3_text(f.read())
+        _fix_matrix_shapes(net)
+        return net
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError, EOFError,
+            StopIteration) as e:
+        raise ValueError(
+            f"{path}: malformed or corrupt nnet3 file "
+            f"({type(e).__name__}: {e})"
+        ) from e
 
 
 def _fix_matrix_shapes(net: Nnet3):

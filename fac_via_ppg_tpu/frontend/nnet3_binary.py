@@ -115,7 +115,10 @@ def _read_int_vector(f: BinaryIO) -> np.ndarray:
     prefix = f.read(1)
     if prefix != b"\x04":
         raise kaldi_io.KaldiIOError(f"Bad int-vector prefix {prefix!r}")
-    (count,) = struct.unpack("<i", f.read(4))
+    head = f.read(4)
+    if len(head) != 4:
+        raise kaldi_io.KaldiIOError("Truncated int-vector header")
+    (count,) = struct.unpack("<i", head)
     # validate like kaldi_io's matrix/vector readers: a corrupt count must
     # not slurp the rest of the file (negative read(-n)) or attempt a
     # multi-GB allocation

@@ -254,12 +254,12 @@ class TextGrid:
         tg = cls()
         tg.minTime = scan.number()
         tg.maxTime = scan.number()
-        for _ in range(int(scan.number())):
+        for _ in range(scan.count("tier count")):
             tier_class = scan.string()
             name = scan.string()
             tmin = scan.number()
             tmax = scan.number()
-            count = int(scan.number())
+            count = scan.count(f"size of tier {name!r}")
             if tier_class == "IntervalTier":
                 tier = IntervalTier(name, tmin, tmax)
                 tier.strict = tg.strict
@@ -372,3 +372,12 @@ class _PraatScanner:
         if payload.startswith('"'):
             raise ValueError(f"expected a number, got {payload!r}")
         return round(float(payload), self._round)
+
+    def count(self, what: str) -> int:
+        """A size field: a corrupt negative value must raise, not silently
+        parse zero items (range() of a negative is empty), and a
+        huge/inf value must raise ValueError, not OverflowError."""
+        n = self.number()
+        if not 0 <= n <= 10**7:
+            raise ValueError(f"implausible {what} {n} in Praat document")
+        return int(n)

@@ -15,6 +15,7 @@ from fac_via_ppg_tpu.frontend.decode import (
     read_den_fst,
     read_trans_model,
 )
+from fac_via_ppg_tpu.frontend.kaldi_io import KaldiIOError
 from fac_via_ppg_tpu.frontend.kaldi_models import (
     ConstantEventMap,
     FstState,
@@ -389,7 +390,7 @@ def test_fuzz_truncation_rejected(tmp_path):
     fst_path = str(tmp_path / "full.fst")
     write_fst(fst_path, fst)
 
-    errors = (ValueError, EOFError, _struct.error)  # KaldiIOError is a VE
+    errors = KaldiIOError  # the guarded readers' declared contract
     for src, reader in (
         (mdl_path, read_transition_model),
         (tree_path, read_context_dependency),
@@ -682,7 +683,7 @@ def test_golden_truncations_rejected(tmp_path):
         read_fst, read_transition_model,
     )
 
-    errors = (ValueError, EOFError, _struct.error)
+    errors = KaldiIOError
     mdl = (
         b"\x00B" + _tok("<TransitionModel>") + _golden_topology_bytes()
         + _tok("<Tuples>") + _i32(1)
