@@ -27,6 +27,7 @@ nnet3_binary:
 
 from __future__ import annotations
 
+import contextlib
 import struct
 from dataclasses import dataclass, field
 from typing import BinaryIO, List, Optional, Tuple, Union
@@ -73,9 +74,6 @@ def _write_f(f, v):
 def _write_int_vector(f: BinaryIO, values):
     f.write(b"\x04" + struct.pack("<i", len(values)))
     f.write(np.asarray(values, dtype="<i4").tobytes())
-
-
-import contextlib
 
 
 @contextlib.contextmanager
